@@ -1,0 +1,102 @@
+"""High-level render / query ops (equivalent of reference
+gaussian/render_query.py).
+
+`render` projects gaussians into one view; `query` voxelizes into a 3D grid.
+Both take activated parameter arrays and are fully differentiable. The
+`backend` flag selects the dense jnp oracle or the Pallas TPU kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from ..ops import dense_reference
+from .preprocess import build_cov3d, preprocess
+from .voxel_preprocess import voxel_preprocess
+
+
+def render(
+    xyz,
+    scales,
+    rotations,
+    densities,
+    *,
+    w2c,
+    full_proj,
+    width: int,
+    height: int,
+    tanfovx: float,
+    tanfovy: float,
+    mode: int,
+    active=None,
+    mean2d_offset_ndc=None,
+    backend: str = "auto",
+):
+    """Render one X-ray projection.
+
+    Returns dict(render=[H,W], radii=[N] int32) — `radii > 0` is the
+    reference's visibility_filter (render_query.py:145-160).
+    """
+    cov3d = build_cov3d(scales, rotations)
+    prep = preprocess(
+        xyz,
+        cov3d,
+        densities,
+        w2c,
+        full_proj,
+        width=width,
+        height=height,
+        tanfovx=tanfovx,
+        tanfovy=tanfovy,
+        mode=mode,
+        active=active,
+        mean2d_offset_ndc=mean2d_offset_ndc,
+    )
+    if backend in ("dense", "auto"):
+        image = dense_reference.render_dense(prep, width=width, height=height)
+    elif backend == "pallas":
+        from ..ops import splat2d
+
+        image = splat2d.render_pallas(prep, width=width, height=height)
+    else:
+        raise ValueError(f"unknown backend {backend}")
+    return {"render": image, "radii": prep.radius, "prep": prep}
+
+
+def query(
+    xyz,
+    scales,
+    rotations,
+    densities,
+    *,
+    center,
+    n_voxel,
+    s_voxel,
+    active=None,
+    backend: str = "auto",
+):
+    """Voxelize gaussians into an [nx,ny,nz] grid (reference
+    render_query.py:27-77). n_voxel must be static python ints."""
+    cov3d = build_cov3d(scales, rotations)
+    max_scale = jnp.max(scales, axis=-1)
+    prep = voxel_preprocess(
+        xyz,
+        cov3d,
+        max_scale,
+        densities,
+        center=center,
+        n_voxel=n_voxel,
+        s_voxel=s_voxel,
+        active=active,
+    )
+    if backend in ("dense", "auto"):
+        vol = dense_reference.voxelize_dense(prep, n_voxel=n_voxel)
+    elif backend == "pallas":
+        from ..ops import splat3d
+
+        vol = splat3d.voxelize_pallas(prep, n_voxel=n_voxel)
+    else:
+        raise ValueError(f"unknown backend {backend}")
+    return {"vol": vol, "radii": prep.radii}
