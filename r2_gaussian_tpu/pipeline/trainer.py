@@ -1,0 +1,297 @@
+"""Training driver: jitted multi-step train function + host-side loop.
+
+The reference trains one view per iteration with per-iteration Python/CUDA
+round trips (train.py:97-219). Here `densification_interval` (default 100)
+iterations run inside ONE XLA dispatch (`lax.fori_loop`), which amortizes
+host/device round-trip latency (~28 ms on the measured TPU tunnel) to ~0.3
+ms/iter; view order, RNG keys and skip flags are precomputed per dispatch.
+
+Loss = L1 + lambda_dssim * (1 - SSIM) + lambda_tv * TV(random 32^3 query)
+(reference train.py:117-142). Densification statistics are harvested from
+the cotangent of an NDC-space zero offset on the projected means, matching
+the reference's screenspace_points trick (render_query.py:91-100,
+backward.cu:562-563).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dataset.geometry import Cameras
+from ..models.gaussians import GaussianAux, GaussianParams, activate
+from ..models.render import query, render
+from ..utils.losses import l1_loss, ssim, tv_3d_loss
+from .densify import DensifyConfig, densify_and_prune
+from .optim import AdamState, adam_update, group_lrs, init_adam
+
+
+class TrainState(NamedTuple):
+    params: GaussianParams
+    adam: AdamState
+    aux: GaussianAux
+
+
+def make_train_fn(
+    *,
+    cameras: Cameras,
+    scanner_cfg: dict,
+    opt_cfg,
+    scale_bound,
+    backend: str,
+    steps_per_call: int,
+):
+    """Build the jitted K-step training function for fixed-capacity state."""
+    width, height = cameras.width, cameras.height
+    tanfovx, tanfovy, mode = cameras.tanfovx, cameras.tanfovy, cameras.mode
+    lambda_dssim = float(opt_cfg.lambda_dssim)
+    lambda_tv = float(opt_cfg.lambda_tv)
+    use_tv = lambda_tv > 0
+    tv_n = int(opt_cfg.tv_vol_size)
+    d_voxel = np.asarray(scanner_cfg["dVoxel"], np.float32)
+    tv_s_voxel = jnp.asarray(d_voxel * tv_n)
+    off = np.asarray(scanner_cfg["offOrigin"], np.float32)
+    s_vox = np.asarray(scanner_cfg["sVoxel"], np.float32)
+    bbox_lo = jnp.asarray(off - s_vox / 2)
+    bbox_hi = jnp.asarray(off + s_vox / 2)
+    sb = None if scale_bound is None else tuple(float(x) for x in scale_bound)
+
+    w2c_all = jnp.asarray(cameras.w2c)
+    proj_all = jnp.asarray(cameras.full_proj)
+    images_all = jnp.asarray(cameras.images)
+
+    def loss_fn(params, d2, active, view_idx, key_tv):
+        xyz, scales, rots, dens = activate(params, sb)
+        out = render(
+            xyz, scales, rots, dens,
+            w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
+            width=width, height=height, tanfovx=tanfovx, tanfovy=tanfovy,
+            mode=mode, active=active, mean2d_offset_ndc=d2, backend=backend,
+        )
+        img = out["render"]
+        gt = images_all[view_idx]
+        l1 = l1_loss(img, gt)
+        total = l1
+        dssim = jnp.float32(0.0)
+        if lambda_dssim > 0:
+            dssim = 1.0 - ssim(img, gt)
+            total = total + lambda_dssim * dssim
+        tv = jnp.float32(0.0)
+        if use_tv:
+            u = jax.random.uniform(key_tv, (3,))
+            center = (bbox_lo + tv_s_voxel / 2) + (bbox_hi - tv_s_voxel - bbox_lo) * u
+            vol = query(
+                xyz, scales, rots, dens,
+                center=center, n_voxel=(tv_n, tv_n, tv_n), s_voxel=tv_s_voxel,
+                active=active, backend=backend,
+            )["vol"]
+            tv = tv_3d_loss(vol, reduction="mean")
+            total = total + lambda_tv * tv
+        return total, (out["radii"], l1, dssim, tv)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_steps(state: TrainState, view_indices, keys, skip_update, iter0):
+        """Run K = steps_per_call iterations. view_indices [K] int32,
+        keys [K] PRNG keys, skip_update [K] bool, iter0 scalar (iterations
+        are 1-indexed: step k is iteration iter0 + k + 1)."""
+
+        def body(k, carry):
+            state, metrics = carry
+            iteration = iter0 + k + 1
+            d2 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+            (total, (radii, l1, dssim, tv)), (gp, gd2) = grad_fn(
+                state.params, d2, state.aux.active, view_indices[k], keys[k]
+            )
+
+            # densification stats (train.py:149-154)
+            visible = radii > 0
+            grad_norm = jnp.linalg.norm(gd2, axis=-1)
+            aux = state.aux
+            aux = aux._replace(
+                max_radii2d=jnp.where(
+                    visible,
+                    jnp.maximum(aux.max_radii2d, radii.astype(jnp.float32)),
+                    aux.max_radii2d,
+                ),
+                xyz_gradient_accum=aux.xyz_gradient_accum
+                + jnp.where(visible, grad_norm, 0.0),
+                denom=aux.denom + visible.astype(jnp.float32),
+            )
+
+            lrs = group_lrs(opt_cfg, iteration)
+            new_p, new_adam = adam_update(state.params, gp, state.adam, lrs)
+            skip = skip_update[k]
+            new_p = jax.tree.map(
+                lambda a, b: jnp.where(skip, a, b), state.params, new_p
+            )
+            new_adam = jax.tree.map(
+                lambda a, b: jnp.where(skip, a, b), state.adam, new_adam
+            )
+            metrics = metrics.at[k].set(
+                jnp.stack([total, l1, dssim, tv, jnp.sum(visible).astype(jnp.float32)])
+            )
+            return TrainState(new_p, new_adam, aux), metrics
+
+        metrics0 = jnp.zeros((steps_per_call, 5), jnp.float32)
+        state, metrics = jax.lax.fori_loop(0, steps_per_call, body, (state, metrics0))
+        return state, metrics
+
+    return train_steps
+
+
+class Trainer:
+    """Host-side orchestration: dispatch scheduling, densification events,
+    capacity growth, checkpoints."""
+
+    def __init__(self, cameras, scanner_cfg, opt_cfg, scale_bound, params, aux,
+                 backend: str = "auto", seed: int = 0):
+        self.cameras = cameras
+        self.scanner_cfg = scanner_cfg
+        self.opt = opt_cfg
+        self.scale_bound = (
+            None if scale_bound is None else tuple(float(x) for x in scale_bound)
+        )
+        self.backend = backend
+        self.state = TrainState(params=params, adam=init_adam(params), aux=aux)
+        self.iteration = 0
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._view_stack: list[int] = []
+        self._train_fns: dict[int, callable] = {}
+
+        off = np.asarray(scanner_cfg["offOrigin"], np.float64)
+        s_vox = np.asarray(scanner_cfg["sVoxel"], np.float64)
+        self.bbox = jnp.asarray(
+            np.stack([off - s_vox / 2, off + s_vox / 2]), jnp.float32
+        )
+        vol_to_world = float(max(scanner_cfg["sVoxel"]))
+        self.densify_cfg = DensifyConfig(
+            grad_threshold=float(opt_cfg.densify_grad_threshold),
+            min_density=float(opt_cfg.density_min_threshold),
+            max_screen_size=(
+                None if opt_cfg.max_screen_size is None else float(opt_cfg.max_screen_size)
+            ),
+            max_scale=(
+                None if opt_cfg.max_scale is None else float(opt_cfg.max_scale) * vol_to_world
+            ),
+            max_num_gaussians=int(opt_cfg.max_num_gaussians),
+            densify_scale_threshold=(
+                None
+                if not opt_cfg.densify_scale_threshold
+                else float(opt_cfg.densify_scale_threshold) * vol_to_world
+            ),
+        )
+
+    # -- view order, matching the reference's shuffled-stack sampling ------
+    def _next_views(self, k: int) -> np.ndarray:
+        out = []
+        for _ in range(k):
+            if not self._view_stack:
+                self._view_stack = list(range(len(self.cameras)))
+            out.append(
+                self._view_stack.pop(self.rng.integers(0, len(self._view_stack)))
+            )
+        return np.asarray(out, np.int32)
+
+    def _get_train_fn(self, steps: int):
+        key = (steps, self.state.params.capacity)
+        if key not in self._train_fns:
+            self._train_fns[key] = make_train_fn(
+                cameras=self.cameras,
+                scanner_cfg=self.scanner_cfg,
+                opt_cfg=self.opt,
+                scale_bound=self.scale_bound,
+                backend=self.backend,
+                steps_per_call=steps,
+            )
+        return self._train_fns[key]
+
+    def _is_densify_iter(self, it: int) -> bool:
+        return (
+            it < self.opt.densify_until_iter
+            and it > self.opt.densify_from_iter
+            and it % self.opt.densification_interval == 0
+        )
+
+    def run_chunk(self, n_steps: int):
+        """Run n_steps iterations in one dispatch; apply a densification
+        event afterwards if the last iteration triggers one."""
+        views = self._next_views(n_steps)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, n_steps)
+        its = self.iteration + 1 + np.arange(n_steps)
+        # torch leaves grads None on densify iters and skips the final
+        # iteration's step (train.py:174-177)
+        skip = np.array(
+            [self._is_densify_iter(int(i)) or int(i) >= self.opt.iterations for i in its],
+            bool,
+        )
+        fn = self._get_train_fn(n_steps)
+        self.state, metrics = fn(
+            self.state, jnp.asarray(views), keys, jnp.asarray(skip),
+            jnp.int32(self.iteration),
+        )
+        self.iteration += n_steps
+
+        n_active = None
+        if self._is_densify_iter(self.iteration):
+            n_active = self.densify()
+        return metrics, n_active
+
+    def densify(self):
+        self._maybe_grow_capacity()
+        self.key, sub = jax.random.split(self.key)
+        p, a, x, n = densify_and_prune(
+            sub, self.state.params, self.state.adam, self.state.aux,
+            self.bbox, self.densify_cfg, self.scale_bound,
+        )
+        self.state = TrainState(params=p, adam=a, aux=x)
+        n = int(n)
+        if n == 0:
+            raise ValueError(
+                "No Gaussian left. Change adaptive control hyperparameters!"
+            )
+        return n
+
+    def _maybe_grow_capacity(self):
+        """Ensure capacity can absorb a worst-case doubling densify event."""
+        cap = self.state.params.capacity
+        n = int(self.state.aux.n_active)
+        limit = self.densify_cfg.max_num_gaussians
+        need = min(2 * n, 2 * limit)
+        if need <= cap:
+            return
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+
+        def pad(a, fill=0.0):
+            padding = [(0, new_cap - cap)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, padding, constant_values=fill)
+
+        p = self.state.params
+        params = GaussianParams(
+            xyz=pad(p.xyz), scaling=pad(p.scaling),
+            rotation=pad(p.rotation).at[cap:, 0].set(1.0),
+            density=pad(p.density, -20.0),
+        )
+        adam = AdamState(
+            m=jax.tree.map(pad, self.state.adam.m),
+            v=jax.tree.map(pad, self.state.adam.v),
+            step=self.state.adam.step,
+        )
+        a = self.state.aux
+        aux = GaussianAux(
+            active=pad(a.active, False),
+            max_radii2d=pad(a.max_radii2d),
+            xyz_gradient_accum=pad(a.xyz_gradient_accum),
+            denom=pad(a.denom),
+        )
+        self.state = TrainState(params, adam, aux)
