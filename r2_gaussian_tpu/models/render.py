@@ -17,6 +17,17 @@ from .preprocess import build_cov3d, preprocess
 from .voxel_preprocess import voxel_preprocess
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    import jax
+
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "dense"
+    except RuntimeError:
+        return "dense"
+
+
 def render(
     xyz,
     scales,
@@ -54,7 +65,8 @@ def render(
         active=active,
         mean2d_offset_ndc=mean2d_offset_ndc,
     )
-    if backend in ("dense", "auto"):
+    backend = _resolve_backend(backend)
+    if backend == "dense":
         image = dense_reference.render_dense(prep, width=width, height=height)
     elif backend == "pallas":
         from ..ops import splat2d
@@ -63,6 +75,51 @@ def render(
     else:
         raise ValueError(f"unknown backend {backend}")
     return {"render": image, "radii": prep.radius, "prep": prep}
+
+
+def query_volume(
+    xyz,
+    scales,
+    rotations,
+    densities,
+    *,
+    center,
+    n_voxel,
+    s_voxel,
+    active=None,
+    backend: str = "auto",
+    slab: int = 32,
+):
+    """Full-volume query chunked over z-slabs so the kernel's VMEM-resident
+    accumulator stays bounded (a 256^3 grid is 64 MB; a 32-slab is 8 MB).
+    Slab boundaries are 8-voxel aligned so the reference's block-quantized
+    footprint semantics are preserved exactly."""
+    import numpy as np
+
+    nx, ny, nz = (int(v) for v in n_voxel)
+    if nz <= slab:
+        return query(
+            xyz, scales, rotations, densities,
+            center=center, n_voxel=n_voxel, s_voxel=s_voxel,
+            active=active, backend=backend,
+        )["vol"]
+    assert slab % 8 == 0 and nz % slab == 0, (nz, slab)
+    center = np.asarray(center, np.float64)
+    s_vox = np.asarray(s_voxel, np.float64)
+    d_z = s_vox[2] / nz
+    out = []
+    for z0 in range(0, nz, slab):
+        c_slab = center.copy()
+        c_slab[2] = center[2] - s_vox[2] / 2 + (z0 + slab / 2) * d_z
+        s_slab = np.array([s_vox[0], s_vox[1], d_z * slab])
+        out.append(
+            query(
+                xyz, scales, rotations, densities,
+                center=c_slab, n_voxel=(nx, ny, slab), s_voxel=s_slab,
+                active=active, backend=backend,
+            )["vol"]
+        )
+    return jnp.concatenate(out, axis=2)
 
 
 def query(
@@ -91,7 +148,8 @@ def query(
         s_voxel=s_voxel,
         active=active,
     )
-    if backend in ("dense", "auto"):
+    backend = _resolve_backend(backend)
+    if backend == "dense":
         vol = dense_reference.voxelize_dense(prep, n_voxel=n_voxel)
     elif backend == "pallas":
         from ..ops import splat3d

@@ -1,0 +1,70 @@
+"""Pallas splat-block voxelizer vs the dense oracle (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from r2_gaussian_tpu.models.preprocess import build_cov3d
+from r2_gaussian_tpu.models.voxel_preprocess import voxel_preprocess
+from r2_gaussian_tpu.ops.dense_reference import voxelize_dense
+from r2_gaussian_tpu.ops.splat3d import voxelize_pallas
+
+
+def random_gaussians(n, seed=0, sigma_range=(0.02, 0.08)):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(*sigma_range, (n, 3)).astype(np.float32))
+    rots = rng.standard_normal((n, 4)).astype(np.float32)
+    rots = jnp.asarray(rots / np.linalg.norm(rots, axis=1, keepdims=True))
+    dens = jnp.asarray(rng.uniform(0.1, 1.5, n).astype(np.float32))
+    return xyz, scales, rots, dens
+
+
+def make_prep(xyz, scales, rots, dens, center, n_voxel, s_voxel):
+    cov3d = build_cov3d(scales, rots)
+    return voxel_preprocess(
+        xyz, cov3d, jnp.max(scales, axis=-1), dens,
+        center=center, n_voxel=n_voxel, s_voxel=s_voxel,
+    )
+
+
+@pytest.mark.parametrize("n", [60, 300])
+def test_voxelize_matches_dense(n):
+    xyz, scales, rots, dens = random_gaussians(n, seed=n)
+    n_vox = (32, 32, 32)
+    s_vox = (0.5, 0.5, 0.5)  # sub-box like the TV query
+    center = (0.1, -0.2, 0.05)
+    prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
+    ref = voxelize_dense(prep, n_voxel=n_vox)
+    got = voxelize_pallas(prep, n_voxel=n_vox)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_voxelize_oversized_fallback():
+    xyz, scales, rots, dens = random_gaussians(50, seed=5, sigma_range=(0.02, 0.3))
+    n_vox = (32, 32, 32)
+    s_vox = (2.0, 2.0, 2.0)
+    prep = make_prep(xyz, scales, rots, dens, (0.0, 0.0, 0.0), n_vox, s_vox)
+    ref = voxelize_dense(prep, n_voxel=n_vox)
+    got = voxelize_pallas(prep, n_voxel=n_vox)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_voxelize_gradients_match():
+    xyz, scales, rots, dens = random_gaussians(80, seed=2)
+    n_vox = (32, 32, 32)
+    s_vox = (1.0, 1.0, 1.0)
+
+    def loss(backend, xyz, scales, rots, dens):
+        prep = make_prep(xyz, scales, rots, dens, (0.0, 0.0, 0.0), n_vox, s_vox)
+        if backend == "dense":
+            vol = voxelize_dense(prep, n_voxel=n_vox)
+        else:
+            vol = voxelize_pallas(prep, n_voxel=n_vox)
+        return jnp.mean(jnp.abs(vol - 0.2))
+
+    gd = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 3))(xyz, scales, rots, dens)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3))(xyz, scales, rots, dens)
+    for a, b in zip(gd, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
