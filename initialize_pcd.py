@@ -17,6 +17,9 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 from r2_gaussian_tpu.dataset.scene import Scene
 from r2_gaussian_tpu.ops.fdk import fdk
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
 
 
 def init_pcd(projs, angles, scanner_cfg, recon_method="fdk", n_points=50000,

@@ -100,7 +100,14 @@ def activate(params: GaussianParams, scale_bound):
 def mean_sq_dist_knn3(points: np.ndarray, chunk: int = 4096) -> np.ndarray:
     """Mean squared distance to the 3 nearest neighbors (simple-knn
     distCUDA2 equivalent, used once at init: gaussian_model.py:145-150).
-    Brute-force chunked; host-side numpy."""
+
+    Uses the native C++ grid-hash KNN (r2_gaussian_tpu/native) when
+    available — O(N) vs this brute-force O(N^2) numpy fallback."""
+    from ..native import knn3_mean_sq_dist
+
+    native = knn3_mean_sq_dist(points)
+    if native is not None:
+        return native
     n = points.shape[0]
     out = np.empty(n, np.float32)
     sq = np.sum(points**2, axis=1)

@@ -74,6 +74,7 @@ class Preprocessed(NamedTuple):
     rect_min: jnp.ndarray  # [N,2] int32 tile-space rect (x, y), inclusive
     rect_max: jnp.ndarray  # [N,2] int32 tile-space rect, exclusive
     depth: jnp.ndarray  # [N] view-space z
+    px_bounds: jnp.ndarray  # [N,4] pixel-space footprint (xlo, xhi, ylo, yhi)
 
 
 def preprocess(
@@ -90,12 +91,23 @@ def preprocess(
     mode: int,
     active: jnp.ndarray | None = None,
     mean2d_offset_ndc: jnp.ndarray | None = None,
+    footprint: str = "tile",
 ) -> Preprocessed:
     """Project N gaussians into one view.
 
     `mean2d_offset_ndc` is a zeros-valued [N,2] hook whose cotangent equals
     the reference's "viewspace point gradient" used for densification
     (NDC-space, i.e. d pix/d ndc = W/2 folded in; see backward.cu:562-563).
+
+    `footprint` selects the per-gaussian contribution mask:
+      - "tile": reference-exact — a gaussian contributes to every pixel of
+        every 16x16 tile its 3-sigma rect touches (subject to the alpha
+        cutoff), matching cuda_rasterizer getRect semantics bit-for-bit;
+      - "tight": pixels within the 3-sigma box [mean-r, mean+r] only. This
+        drops the <=0.011*w contributions in tile-corner slivers beyond
+        3 sigma (they only exist as a side effect of the reference's tile
+        binning) and shrinks every kernel window by up to 32px. PSNR-
+        equivalent; the default for training via configs.
     """
     n = xyz.shape[0]
     focal_x = width / (2.0 * tanfovx)
@@ -182,6 +194,29 @@ def preprocess(
     weight = jnp.where(valid, density * mu, 0.0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
+    if footprint == "tile":
+        px_bounds = jnp.stack(
+            [
+                rmin_x.astype(jnp.float32) * TILE,
+                rmax_x.astype(jnp.float32) * TILE,
+                rmin_y.astype(jnp.float32) * TILE,
+                rmax_y.astype(jnp.float32) * TILE,
+            ],
+            -1,
+        )
+    elif footprint == "tight":
+        px_bounds = jnp.stack(
+            [
+                jnp.maximum(mean2d[:, 0] - radius_f, 0.0),
+                jnp.minimum(mean2d[:, 0] + radius_f + 1.0, float(width)),
+                jnp.maximum(mean2d[:, 1] - radius_f, 0.0),
+                jnp.minimum(mean2d[:, 1] + radius_f + 1.0, float(height)),
+            ],
+            -1,
+        )
+    else:
+        raise ValueError(f"unknown footprint {footprint}")
+
     return Preprocessed(
         mean2d=mean2d,
         conic=conic,
@@ -191,4 +226,5 @@ def preprocess(
         rect_min=jnp.stack([rmin_x, rmin_y], -1),
         rect_max=jnp.stack([rmax_x, rmax_y], -1),
         depth=p_view[:, 2],
+        px_bounds=px_bounds,
     )

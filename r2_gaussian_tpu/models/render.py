@@ -44,6 +44,7 @@ def render(
     active=None,
     mean2d_offset_ndc=None,
     backend: str = "auto",
+    footprint: str = "tile",
 ):
     """Render one X-ray projection.
 
@@ -64,6 +65,7 @@ def render(
         mode=mode,
         active=active,
         mean2d_offset_ndc=mean2d_offset_ndc,
+        footprint=footprint,
     )
     backend = _resolve_backend(backend)
     if backend == "dense":

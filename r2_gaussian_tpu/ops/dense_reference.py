@@ -38,13 +38,11 @@ def _render_chunk(prep: Preprocessed, px: jnp.ndarray, py: jnp.ndarray) -> jnp.n
         -0.5 * (cxx[None, :] * dx * dx + cyy[None, :] * dy * dy)
         - cxy[None, :] * dx * dy
     )
-    tile_x = (px[:, None] / TILE).astype(jnp.int32)
-    tile_y = (py[:, None] / TILE).astype(jnp.int32)
     in_rect = (
-        (tile_x >= prep.rect_min[None, :, 0])
-        & (tile_x < prep.rect_max[None, :, 0])
-        & (tile_y >= prep.rect_min[None, :, 1])
-        & (tile_y < prep.rect_max[None, :, 1])
+        (px[:, None] >= prep.px_bounds[None, :, 0])
+        & (px[:, None] < prep.px_bounds[None, :, 1])
+        & (py[:, None] >= prep.px_bounds[None, :, 2])
+        & (py[:, None] < prep.px_bounds[None, :, 3])
     )
     alpha = prep.weight[None, :] * jnp.exp(power)
     ok = in_rect & (power <= 0.0) & (alpha >= ALPHA_CUT_2D)

@@ -112,7 +112,7 @@ def _unpack_features(data):
 
 
 def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
-                wh, ww, height, width, nsteps):
+                wh, ww, rc, height, width, nsteps):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -126,14 +126,14 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
         oy = pl.multiple_of(packed >> 16, 8)
         mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
 
-        plin = jax.lax.broadcasted_iota(jnp.int32, (RC * ww, 1), 0)
+        plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
         wxf = (plin % ww).astype(jnp.float32)
         wyf = (plin // ww).astype(jnp.float32)
         pxf = wxf + ox.astype(jnp.float32)
         sel = _col_selector(ox, ww, width)
 
-        for rc in range(wh // RC):
-            pyf = wyf + (oy + rc * RC).astype(jnp.float32)
+        for step in range(wh // rc):
+            pyf = wyf + (oy + step * rc).astype(jnp.float32)
             dx = pxf - mx  # (P, G)
             dy = pyf - my
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
@@ -143,10 +143,10 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
                 & (power <= 0.0) & (alpha >= ALPHA_CUT)
             )
             contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
-            patch = _to_grid(contrib, RC, ww)
+            patch = _to_grid(contrib, rc, ww)
             rows = _place(patch, sel)  # (RC, width)
-            cur = img[pl.ds(oy + rc * RC, RC), :]
-            img[pl.ds(oy + rc * RC, RC), :] = cur + rows
+            cur = img[pl.ds(oy + step * rc, rc), :]
+            img[pl.ds(oy + step * rc, rc), :] = cur + rows
 
     @pl.when(i == nsteps - 1)
     def _():
@@ -154,7 +154,7 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
 
 
 def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
-                wh, ww, height, width):
+                wh, ww, rc, height, width):
     i = pl.program_id(0)
     dout_ref[0] = jnp.zeros((NF, G), jnp.float32)
 
@@ -165,7 +165,7 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
         oy = pl.multiple_of(packed >> 16, 8)
         mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
 
-        plin = jax.lax.broadcasted_iota(jnp.int32, (RC * ww, 1), 0)
+        plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
         wxf = (plin % ww).astype(jnp.float32)
         wyf = (plin // ww).astype(jnp.float32)
         pxf = wxf + ox.astype(jnp.float32)
@@ -178,10 +178,10 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
         dcyy = jnp.zeros((1, G), jnp.float32)
         dw = jnp.zeros((1, G), jnp.float32)
 
-        for rc in range(wh // RC):
-            pyf = wyf + (oy + rc * RC).astype(jnp.float32)
-            gi = _extract(gimg_ref[pl.ds(oy + rc * RC, RC), :], sel)  # (RC, ww)
-            gcol = _to_column(gi, RC, ww)  # (P, 1)
+        for step in range(wh // rc):
+            pyf = wyf + (oy + step * rc).astype(jnp.float32)
+            gi = _extract(gimg_ref[pl.ds(oy + step * rc, rc), :], sel)  # (rc, ww)
+            gcol = _to_column(gi, rc, ww)  # (P, 1)
             dx = pxf - mx
             dy = pyf - my
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
@@ -210,6 +210,14 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
 # pallas_call wrappers with custom VJP (one tier = one call)
 
 
+def _rc_for(ww: int) -> int:
+    """Row-chunk height: bounds in-kernel temporaries to ~rc*ww*G floats."""
+    return 16 if ww <= 104 else 8
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _splat_tier(data_ext, ids, origins, count, height, width, wh, ww):
     """data_ext: [NB+1, NF, G] (last row all-zero sentinel); ids: [CAP]
@@ -231,10 +239,11 @@ def _splat_tier_fwd_impl(data_ext, ids, origins, count, height, width, wh, ww):
         scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, wh=wh, ww=ww, height=height, width=width,
-                          nsteps=cap),
+        functools.partial(_fwd_kernel, wh=wh, ww=ww, rc=_rc_for(ww),
+                          height=height, width=width, nsteps=cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, origins, count, data_ext)
 
@@ -260,9 +269,11 @@ def _splat_tier_bwd(height, width, wh, ww, res, gimg):
                                memory_space=pltpu.VMEM),
     )
     dstep = pl.pallas_call(
-        functools.partial(_bwd_kernel, wh=wh, ww=ww, height=height, width=width),
+        functools.partial(_bwd_kernel, wh=wh, ww=ww, rc=_rc_for(ww),
+                          height=height, width=width),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap, NF, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, origins, count, data_ext, gimg)
     ddata = jnp.zeros_like(data_ext)
@@ -288,12 +299,10 @@ DEFAULT_CONFIG = SplatConfig()
 
 
 def _build_features(prep: Preprocessed):
-    """Per-gaussian feature rows [N, NF] (differentiable where it matters)."""
-    tile = 16.0
-    xlo = prep.rect_min[:, 0].astype(jnp.float32) * tile
-    xhi = prep.rect_max[:, 0].astype(jnp.float32) * tile
-    ylo = prep.rect_min[:, 1].astype(jnp.float32) * tile
-    yhi = prep.rect_max[:, 1].astype(jnp.float32) * tile
+    """Per-gaussian feature rows [N, NF] (differentiable where it matters).
+    The footprint bounds come straight from preprocess (tile-quantized or
+    tight — same kernel either way)."""
+    bounds = jax.lax.stop_gradient(prep.px_bounds)
     return jnp.stack(
         [
             prep.mean2d[:, 0],
@@ -302,7 +311,7 @@ def _build_features(prep: Preprocessed):
             prep.conic[:, 1],
             prep.conic[:, 2],
             prep.weight,
-            xlo, xhi, ylo, yhi,
+            bounds[:, 0], bounds[:, 1], bounds[:, 2], bounds[:, 3],
         ],
         axis=1,
     )
@@ -350,7 +359,7 @@ def render_pallas(
     take an exact dense fallback. Returns [H, W] (+ diagnostics if
     return_aux)."""
     tiers = [
-        (min(wh, (height // RC) * RC), min(ww, width)) for wh, ww in config.tiers
+        (min(wh, (height // 16) * 16), min(ww, width)) for wh, ww in config.tiers
     ]
     # drop now-duplicate tiers after clamping (small images)
     seen, tiers_u = set(), []

@@ -26,6 +26,9 @@ class ParamGroup:
                 shorthand = True
                 key = key[1:]
             t = type(value)
+            # an attribute whose default is None has no inferable type; flags
+            # like --max_scale are numeric fractions -> float
+            arg_type = t if value is not None else float
             value = value if not fill_none else None
             names = [f"--{key}"] + ([f"-{key[0:1]}"] if shorthand else [])
             if t is bool:
@@ -34,8 +37,7 @@ class ParamGroup:
                 group.add_argument(*names, default=value, nargs="+",
                                    type=type(value[0]) if value else str)
             else:
-                group.add_argument(*names, default=value,
-                                   type=t if value is not None else float)
+                group.add_argument(*names, default=value, type=arg_type)
 
     def extract(self, args) -> Namespace:
         out = Namespace()
@@ -65,6 +67,7 @@ class ModelParams(ParamGroup):
 class PipelineParams(ParamGroup):
     def __init__(self, parser):
         self.backend = "auto"  # auto | dense | pallas
+        self.footprint = "tight"  # tight | tile (tile = reference-exact)
         self.debug = False
         super().__init__(parser, "Pipeline Parameters")
 
@@ -96,6 +99,11 @@ class OptimizationParams(ParamGroup):
         self.max_screen_size = None
         self.max_scale = None  # fraction of volume size
         self.max_num_gaussians = 500_000
+        # initial padded-buffer capacity (0 = auto: pow2 >= max(16384, N)).
+        # XLA needs static shapes, so gaussians live in padded SoA buffers;
+        # smaller caps save compute on small scenes at the cost of an extra
+        # recompile tier when densification grows past them.
+        self.initial_capacity = 0
         super().__init__(parser, "Optimization Parameters")
 
 

@@ -45,6 +45,7 @@ def make_train_fn(
     scale_bound,
     backend: str,
     steps_per_call: int,
+    footprint: str = "tile",
 ):
     """Build the jitted K-step training function for fixed-capacity state."""
     width, height = cameras.width, cameras.height
@@ -72,6 +73,7 @@ def make_train_fn(
             w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
             width=width, height=height, tanfovx=tanfovx, tanfovy=tanfovy,
             mode=mode, active=active, mean2d_offset_ndc=d2, backend=backend,
+            footprint=footprint,
         )
         img = out["render"]
         gt = images_all[view_idx]
@@ -151,7 +153,7 @@ class Trainer:
     capacity growth, checkpoints."""
 
     def __init__(self, cameras, scanner_cfg, opt_cfg, scale_bound, params, aux,
-                 backend: str = "auto", seed: int = 0):
+                 backend: str = "auto", seed: int = 0, footprint: str = "tight"):
         self.cameras = cameras
         self.scanner_cfg = scanner_cfg
         self.opt = opt_cfg
@@ -159,6 +161,7 @@ class Trainer:
             None if scale_bound is None else tuple(float(x) for x in scale_bound)
         )
         self.backend = backend
+        self.footprint = footprint
         self.state = TrainState(params=params, adam=init_adam(params), aux=aux)
         self.iteration = 0
         self.rng = np.random.default_rng(seed)
@@ -210,6 +213,7 @@ class Trainer:
                 scale_bound=self.scale_bound,
                 backend=self.backend,
                 steps_per_call=steps,
+                footprint=self.footprint,
             )
         return self._train_fns[key]
 

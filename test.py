@@ -16,6 +16,10 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import jax
+
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
 import jax.numpy as jnp
 import yaml
 
@@ -91,15 +95,12 @@ def evaluate_volume(scene, xyz, scales, rots, dens, active, out_dir, backend):
         s_voxel=cfg["sVoxel"], active=active, backend=backend,
     ))
     np.save(osp.join(out_dir, "vol_pred.npy"), vol_pred)
-    try:
-        import SimpleITK as sitk
+    # .nii.gz export for 3D Slicer (reference test.py:140-148); built-in
+    # NIfTI-1 writer, no SimpleITK needed.
+    from r2_gaussian_tpu.utils.nifti import write_nifti
 
-        sitk.WriteImage(
-            sitk.GetImageFromArray(vol_pred.transpose(2, 1, 0)),
-            osp.join(out_dir, "vol_pred.nii.gz"),
-        )
-    except ImportError:
-        pass
+    d_voxel = [float(s) / int(n) for s, n in zip(cfg["sVoxel"], cfg["nVoxel"])]
+    write_nifti(osp.join(out_dir, "vol_pred.nii.gz"), vol_pred, spacing=d_voxel)
     report = {}
     if scene.vol_gt is not None:
         np.save(osp.join(out_dir, "vol_gt.npy"), np.asarray(scene.vol_gt))

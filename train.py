@@ -22,6 +22,10 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import jax
+
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
 import jax.numpy as jnp
 import yaml
 from tqdm import tqdm
@@ -57,7 +61,7 @@ def find_init_file(dataset) -> str:
     raise ValueError(f"Could not recognize scene type: {src}")
 
 
-def initialize_gaussians(dataset, scale_bound):
+def initialize_gaussians(dataset, scale_bound, capacity=None):
     init_path = find_init_file(dataset)
     assert osp.exists(init_path), (
         f"Initialization file {init_path} not found. Run initialize_pcd.py first "
@@ -65,7 +69,8 @@ def initialize_gaussians(dataset, scale_bound):
     )
     if init_path.endswith(".npy"):
         pts = np.load(init_path)
-        return create_from_pcd(pts[:, :3], pts[:, 3], scale_bound)
+        return create_from_pcd(pts[:, :3], pts[:, 3], scale_bound,
+                               capacity=capacity)
     params, aux, sb = load_point_cloud(init_path)
     return params, aux
 
@@ -170,10 +175,12 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
         )
 
     backend = pipe.backend
-    params, aux = initialize_gaussians(dataset, scale_bound)
+    params, aux = initialize_gaussians(
+        dataset, scale_bound, capacity=int(opt.initial_capacity) or None
+    )
     trainer = Trainer(
         scene.train_cameras, scanner_cfg, opt, scale_bound, params, aux,
-        backend=backend,
+        backend=backend, footprint=pipe.footprint,
     )
     if start_checkpoint:
         state, it, sb = load_checkpoint(start_checkpoint)
