@@ -40,6 +40,17 @@ NF3 = 16  # cx cy cz ia ib ic id ie if w xlo xhi ylo yhi zlo zhi
 ALPHA_CUT_3D = 1e-6
 
 
+def _chunk3(wx: int, wy: int, vz: int, target_px: int = 2048):
+    """(rcx, rcy): x/y rows per inner step, bounding per-step temporaries to
+    ~target_px*G floats (the Mosaic register allocator spills catastrophically
+    if the whole (wx*wy*vz, G) window is materialized at once)."""
+    rcx = 8 if wx >= 8 else wx
+    rcy = max(1, min(wy, target_px // (rcx * vz)))
+    while wy % rcy:
+        rcy -= 1
+    return rcx, rcy
+
+
 def _fwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, vol, *, wx,
                  wy, vz, vxs, vys, z_off, nsteps):
     """ids_ref: block id per grid step; origin_ref: packed (ox | oy<<16)."""
@@ -71,34 +82,38 @@ def _fwd3_body(ids_ref, origin_ref, data_ref, vol, i, *, wx, wy, vz, vys, z_off)
     ylo, yhi = data[12:13], data[13:14]
     zlo, zhi = data[14:15], data[15:16]
 
-    p = jax.lax.broadcasted_iota(jnp.int32, (wx * wy * vz, 1), 0)
+    rcx, rcy = _chunk3(wx, wy, vz)
+    p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
-    ly = (p // vz) % wy
-    lx = p // (vz * wy)
+    ly = (p // vz) % rcy
+    lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
-    vyf = (ly + oy).astype(jnp.float32) + 0.5
-    vxf = (lx + ox).astype(jnp.float32) + 0.5
 
-    dx = vxf - cx  # (P, G)
-    dy = vyf - cy
-    dz = vzf - cz
-    power = (
-        -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-        - ib * dx * dy - ic * dx * dz - ie * dy * dz
-    )
-    alpha = w * jnp.exp(power)
-    ok = (
-        (vxf >= xlo) & (vxf < xhi)
-        & (vyf >= ylo) & (vyf < yhi)
-        & (vzf >= zlo) & (vzf < zhi)
-        & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-    )
-    contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
-    patch = _to_grid(contrib, wx, wy * vz)
-    sel = _col_selector(oy * vz, wy * vz, vys * vz)
-    rows = _place(patch, sel)
-    cur = vol[pl.ds(ox, wx), :]
-    vol[pl.ds(ox, wx), :] = cur + rows
+    for sx in range(wx // rcx):
+        rows_acc = jnp.zeros((rcx, vys * vz), jnp.float32)
+        vxf = (lx + (ox + sx * rcx)).astype(jnp.float32) + 0.5
+        for sy in range(wy // rcy):
+            vyf = (ly + (oy + sy * rcy)).astype(jnp.float32) + 0.5
+            dx = vxf - cx  # (P, G)
+            dy = vyf - cy
+            dz = vzf - cz
+            power = (
+                -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
+                - ib * dx * dy - ic * dx * dz - ie * dy * dz
+            )
+            alpha = w * jnp.exp(power)
+            ok = (
+                (vxf >= xlo) & (vxf < xhi)
+                & (vyf >= ylo) & (vyf < yhi)
+                & (vzf >= zlo) & (vzf < zhi)
+                & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
+            )
+            contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
+            patch = _to_grid(contrib, rcx, rcy * vz)
+            sel = _col_selector((oy + sy * rcy) * vz, rcy * vz, vys * vz)
+            rows_acc = rows_acc + _place(patch, sel)
+        cur = vol[pl.ds(ox + sx * rcx, rcx), :]
+        vol[pl.ds(ox + sx * rcx, rcx), :] = cur + rows_acc
 
 
 def _bwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, gvol_ref, dout_ref,
@@ -125,53 +140,59 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
     ylo, yhi = data[12:13], data[13:14]
     zlo, zhi = data[14:15], data[15:16]
 
-    p = jax.lax.broadcasted_iota(jnp.int32, (wx * wy * vz, 1), 0)
+    rcx, rcy = _chunk3(wx, wy, vz)
+    p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
-    ly = (p // vz) % wy
-    lx = p // (vz * wy)
+    ly = (p // vz) % rcy
+    lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
-    vyf = (ly + oy).astype(jnp.float32) + 0.5
-    vxf = (lx + ox).astype(jnp.float32) + 0.5
-
-    sel = _col_selector(oy * vz, wy * vz, vys * vz)
-    gv = _extract(gvol_ref[pl.ds(ox, wx), :], sel)
-    gcol = _to_column(gv, wx, wy * vz)
-
-    dx = vxf - cx
-    dy = vyf - cy
-    dz = vzf - cz
-    power = (
-        -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-        - ib * dx * dy - ic * dx * dz - ie * dy * dz
-    )
-    e = jnp.exp(power)
-    alpha = w * e
-    ok = (
-        (vxf >= xlo) & (vxf < xhi)
-        & (vyf >= ylo) & (vyf < yhi)
-        & (vzf >= zlo) & (vzf < zhi)
-        & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-    )
-    galpha = jnp.where(ok, gcol, 0.0)
-    gpow = galpha * alpha
 
     def rsum(x):
         return jnp.sum(x, axis=0)[None]
 
-    dcx = rsum(gpow * (ia * dx + ib * dy + ic * dz))
-    dcy = rsum(gpow * (id_ * dy + ib * dx + ie * dz))
-    dcz = rsum(gpow * (if_ * dz + ic * dx + ie * dy))
-    dia = rsum(gpow * (-0.5 * dx * dx))
-    dib = rsum(gpow * (-dx * dy))
-    dic = rsum(gpow * (-dx * dz))
-    did = rsum(gpow * (-0.5 * dy * dy))
-    die = rsum(gpow * (-dy * dz))
-    dif = rsum(gpow * (-0.5 * dz * dz))
-    dw = rsum(galpha * e)
-    zeros = jnp.zeros((1, G), jnp.float32)
+    zero = jnp.zeros((1, G), jnp.float32)
+    dcx = dcy = dcz = zero
+    dia = dib = dic = did = die = dif = dw = zero
+    for sx in range(wx // rcx):
+        gv_rows = gvol_ref[pl.ds(ox + sx * rcx, rcx), :]
+        vxf = (lx + (ox + sx * rcx)).astype(jnp.float32) + 0.5
+        for sy in range(wy // rcy):
+            vyf = (ly + (oy + sy * rcy)).astype(jnp.float32) + 0.5
+            sel = _col_selector((oy + sy * rcy) * vz, rcy * vz, vys * vz)
+            gv = _extract(gv_rows, sel)
+            gcol = _to_column(gv, rcx, rcy * vz)
+
+            dx = vxf - cx
+            dy = vyf - cy
+            dz = vzf - cz
+            power = (
+                -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
+                - ib * dx * dy - ic * dx * dz - ie * dy * dz
+            )
+            e = jnp.exp(power)
+            alpha = w * e
+            ok = (
+                (vxf >= xlo) & (vxf < xhi)
+                & (vyf >= ylo) & (vyf < yhi)
+                & (vzf >= zlo) & (vzf < zhi)
+                & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
+            )
+            galpha = jnp.where(ok, gcol, 0.0)
+            gpow = galpha * alpha
+
+            dcx = dcx + rsum(gpow * (ia * dx + ib * dy + ic * dz))
+            dcy = dcy + rsum(gpow * (id_ * dy + ib * dx + ie * dz))
+            dcz = dcz + rsum(gpow * (if_ * dz + ic * dx + ie * dy))
+            dia = dia + rsum(gpow * (-0.5 * dx * dx))
+            dib = dib + rsum(gpow * (-dx * dy))
+            dic = dic + rsum(gpow * (-dx * dz))
+            did = did + rsum(gpow * (-0.5 * dy * dy))
+            die = die + rsum(gpow * (-dy * dz))
+            dif = dif + rsum(gpow * (-0.5 * dz * dz))
+            dw = dw + rsum(galpha * e)
     dout_ref[0] = jnp.concatenate(
         [dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw,
-         zeros, zeros, zeros, zeros, zeros, zeros], axis=0
+         zero, zero, zero, zero, zero, zero], axis=0
     )
 
 
@@ -199,6 +220,7 @@ def _splat3_fwd_impl(data, ids, origins, count, vxs, vys, vz, wx, wy, z_off):
                           z_off=z_off, nsteps=cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((vxs, vys * vz), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ids, origins, count, data)
 
@@ -228,6 +250,7 @@ def _splat3_bwd(vxs, vys, vz, wx, wy, z_off, res, gvol):
         functools.partial(_bwd3_kernel, wx=wx, wy=wy, vz=vz, vys=vys, z_off=z_off),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap, NF3, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ids, origins, count, data, gvol)
     # scatter per-step grads back to block rows (pad ids point at the
