@@ -31,18 +31,23 @@ def _ramlak_kernel(n: int, du: float) -> np.ndarray:
     return h
 
 
-def _filter_rows(projs: jnp.ndarray, du: float) -> jnp.ndarray:
+def _filter_rows(projs, du: float) -> jnp.ndarray:
     """Ramp-filter each detector row (last axis) by FFT linear convolution.
-    projs: [..., W]."""
+    projs: [..., W].
+
+    Runs on the host with numpy: FFT is unsupported by some TPU runtimes
+    (and this is one-time initialization work, not the training hot path).
+    """
+    projs = np.asarray(projs, np.float64)
     w = projs.shape[-1]
     h = _ramlak_kernel(w, du)
     size = int(2 ** np.ceil(np.log2(2 * w)))
     # keep the kernel's linear phase (it is laid out shifted by w-1)
-    hf = jnp.asarray(np.fft.rfft(h, size), jnp.complex64)
-    pf = jnp.fft.rfft(projs, size, axis=-1)
-    q = jnp.fft.irfft(pf * hf, size, axis=-1)
+    hf = np.fft.rfft(h, size)
+    pf = np.fft.rfft(projs, size, axis=-1)
+    q = np.fft.irfft(pf * hf, size, axis=-1)
     # linear convolution: output sample i aligns at offset (w-1)
-    return q[..., w - 1 : 2 * w - 1] * du
+    return jnp.asarray(q[..., w - 1 : 2 * w - 1] * du, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "n_voxel", "z_chunk"))

@@ -40,6 +40,7 @@ G = 128  # gaussians per block
 NF = 10  # mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi
 RC = 16  # window row-chunk processed per inner step
 ALPHA_CUT = 1e-5
+_UNROLL_MAX = 12  # row-chunk loops longer than this stay rolled (registers)
 
 
 def _on_tpu() -> bool:
@@ -132,8 +133,9 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
         pxf = wxf + ox.astype(jnp.float32)
         sel = _col_selector(ox, ww, width)
 
-        for step in range(wh // rc):
-            pyf = wyf + (oy + step * rc).astype(jnp.float32)
+        def one_chunk(step, _):
+            y0 = pl.multiple_of(oy + step * rc, 8)
+            pyf = wyf + y0.astype(jnp.float32)
             dx = pxf - mx  # (P, G)
             dy = pyf - my
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
@@ -145,8 +147,18 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
             contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
             patch = _to_grid(contrib, rc, ww)
             rows = _place(patch, sel)  # (RC, width)
-            cur = img[pl.ds(oy + step * rc, rc), :]
-            img[pl.ds(oy + step * rc, rc), :] = cur + rows
+            cur = img[pl.ds(y0, rc), :]
+            img[pl.ds(y0, rc), :] = cur + rows
+            return 0
+
+        n_chunks = wh // rc
+        if n_chunks <= _UNROLL_MAX:
+            for step in range(n_chunks):
+                one_chunk(step, 0)
+        else:
+            # big windows: rolled loop keeps live registers bounded (Mosaic
+            # spills catastrophically on a 64-step unroll)
+            jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
 
     @pl.when(i == nsteps - 1)
     def _():
@@ -171,16 +183,11 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
         pxf = wxf + ox.astype(jnp.float32)
         sel = _col_selector(ox, ww, width)
 
-        dmx = jnp.zeros((1, G), jnp.float32)
-        dmy = jnp.zeros((1, G), jnp.float32)
-        dcxx = jnp.zeros((1, G), jnp.float32)
-        dcxy = jnp.zeros((1, G), jnp.float32)
-        dcyy = jnp.zeros((1, G), jnp.float32)
-        dw = jnp.zeros((1, G), jnp.float32)
-
-        for step in range(wh // rc):
-            pyf = wyf + (oy + step * rc).astype(jnp.float32)
-            gi = _extract(gimg_ref[pl.ds(oy + step * rc, rc), :], sel)  # (rc, ww)
+        def one_chunk(step, acc):
+            dmx, dmy, dcxx, dcxy, dcyy, dw = acc
+            y0 = pl.multiple_of(oy + step * rc, 8)
+            pyf = wyf + y0.astype(jnp.float32)
+            gi = _extract(gimg_ref[pl.ds(y0, rc), :], sel)  # (rc, ww)
             gcol = _to_column(gi, rc, ww)  # (P, 1)
             dx = pxf - mx
             dy = pyf - my
@@ -193,14 +200,24 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
             )
             galpha = jnp.where(ok, gcol, 0.0)
             gpow = galpha * alpha  # dL/dpower = gI * w * e
-            dw += jnp.sum(galpha * e, axis=0)[None]
-            dmx += jnp.sum(gpow * (cxx * dx + cxy * dy), axis=0)[None]
-            dmy += jnp.sum(gpow * (cyy * dy + cxy * dx), axis=0)[None]
-            dcxx += jnp.sum(gpow * (-0.5 * dx * dx), axis=0)[None]
-            dcyy += jnp.sum(gpow * (-0.5 * dy * dy), axis=0)[None]
-            dcxy += jnp.sum(gpow * (-dx * dy), axis=0)[None]
+            return (
+                dmx + jnp.sum(gpow * (cxx * dx + cxy * dy), axis=0)[None],
+                dmy + jnp.sum(gpow * (cyy * dy + cxy * dx), axis=0)[None],
+                dcxx + jnp.sum(gpow * (-0.5 * dx * dx), axis=0)[None],
+                dcxy + jnp.sum(gpow * (-dx * dy), axis=0)[None],
+                dcyy + jnp.sum(gpow * (-0.5 * dy * dy), axis=0)[None],
+                dw + jnp.sum(galpha * e, axis=0)[None],
+            )
 
         zeros = jnp.zeros((1, G), jnp.float32)
+        acc = (zeros, zeros, zeros, zeros, zeros, zeros)
+        n_chunks = wh // rc
+        if n_chunks <= _UNROLL_MAX:
+            for step in range(n_chunks):
+                acc = one_chunk(step, acc)
+        else:
+            acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
+        dmx, dmy, dcxx, dcxy, dcyy, dw = acc
         dout_ref[0] = jnp.concatenate(
             [dmx, dmy, dcxx, dcxy, dcyy, dw, zeros, zeros, zeros, zeros], axis=0
         )
@@ -276,12 +293,27 @@ def _splat_tier_bwd(height, width, wh, ww, res, gimg):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, origins, count, data_ext, gimg)
-    ddata = jnp.zeros_like(data_ext)
-    ddata = ddata.at[ids].add(dstep, mode="drop")
-    return ddata, None, None, None
+    return _scatter_steps_to_blocks(dstep, ids, data_ext.shape[0]), None, None, None
 
 
 _splat_tier.defvjp(_splat_tier_fwd, _splat_tier_bwd)
+
+
+def _scatter_steps_to_blocks(dstep, ids, nbp1):
+    """Route per-grid-step gradient blocks [CAP, F, G] back to block rows
+    [NBP1, F, G] via an inverse permutation + row gather. Each real block id
+    appears at most once in `ids` (it's a compaction), so this is equivalent
+    to (but far cheaper on TPU than) a 3D scatter-add.
+
+    Blocks absent from `ids` read step cap-1: if count < cap that step is a
+    pad whose output is all-zero; if count == cap every block is present and
+    the default is fully overwritten. Pad ids point at row nbp1-1, the
+    appended all-zero sentinel block whose cotangent is discarded downstream.
+    """
+    cap = ids.shape[0]
+    inv = jnp.full((nbp1,), cap - 1, jnp.int32)
+    inv = inv.at[ids].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    return dstep[inv]
 
 
 # ---------------------------------------------------------------------------
@@ -289,10 +321,15 @@ _splat_tier.defvjp(_splat_tier_fwd, _splat_tier_bwd)
 
 
 class SplatConfig(NamedTuple):
-    # (window_h, window_w) per tier, ascending; window_h % RC == 0
-    tiers: tuple = ((64, 56), (112, 104), (176, 168))
-    dense_cap: int = 2048  # fallback capacity for blocks beyond all tiers
-    dense_chunk: int = 256
+    # (window_h, window_w) per tier, ascending; window_h % rc == 0.
+    # A terminal full-frame tier is appended automatically (when the image
+    # height allows), so every block is covered and the dense fallback is an
+    # (almost always empty) safety net rather than a hot path.
+    tiers: tuple = ((64, 56), (112, 104), (176, 168), (240, 232), (336, 328))
+    # fallback capacity for gaussians in blocks beyond all tiers (0 disables;
+    # the fallback is cond-gated, so it only costs when actually populated)
+    dense_cap: int = 4096
+    dense_chunk: int = 512
 
 
 DEFAULT_CONFIG = SplatConfig()
@@ -361,6 +398,10 @@ def render_pallas(
     tiers = [
         (min(wh, (height // 16) * 16), min(ww, width)) for wh, ww in config.tiers
     ]
+    # terminal full-frame tier: covers any block, making the dense fallback
+    # an empty safety net (requires height % rc == 0 for the row loop)
+    if height % _rc_for(width) == 0:
+        tiers.append((height, width))
     # drop now-duplicate tiers after clamping (small images)
     seen, tiers_u = set(), []
     for t in tiers:
@@ -416,12 +457,22 @@ def render_pallas(
         if return_aux:
             aux[f"tier{ti}_blocks"] = count[0]
 
-    # dense fallback for gaussians in blocks beyond all tiers
+    # dense fallback for gaussians in blocks beyond all tiers; cond-gated so
+    # well-sorted populations (fallback empty) skip it at runtime entirely
     gmask = ((~assigned)[:, None] & valid).reshape(npad)
     count = jnp.sum(gmask.astype(jnp.int32))
-    idx = jnp.nonzero(gmask, size=config.dense_cap, fill_value=0)[0]
-    img_fb = _dense_fallback(feats, idx, count, height, width, config.dense_chunk)
-    out = img + img_fb
+    if config.dense_cap > 0:
+        idx = jnp.nonzero(gmask, size=config.dense_cap, fill_value=0)[0]
+        img_fb = jax.lax.cond(
+            count > 0,
+            lambda f, ix, c: _dense_fallback(f, ix, c, height, width,
+                                             config.dense_chunk),
+            lambda f, ix, c: jnp.zeros((height, width), jnp.float32),
+            feats, idx, count,
+        )
+        out = img + img_fb
+    else:
+        out = img
     if return_aux:
         aux["fallback_count"] = count
         aux["fallback_dropped"] = jnp.maximum(count - config.dense_cap, 0)

@@ -253,11 +253,9 @@ def _splat3_bwd(vxs, vys, vz, wx, wy, z_off, res, gvol):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ids, origins, count, data, gvol)
-    # scatter per-step grads back to block rows (pad ids point at the
-    # appended zero block; padded steps emit zeros)
-    ddata = jnp.zeros_like(data)
-    ddata = ddata.at[ids].add(dstep, mode="drop")
-    return ddata, None, None, None
+    from .splat2d import _scatter_steps_to_blocks
+
+    return _scatter_steps_to_blocks(dstep, ids, data.shape[0]), None, None, None
 
 
 _splat3_blocks.defvjp(_splat3_fwd, _splat3_bwd)
@@ -288,12 +286,15 @@ def voxelize_pallas(
     n_voxel,
     window_x: int = 32,
     window_y: int = 32,
-    candidate_cap: int = 1024,
+    candidate_cap: int | None = None,
+    dense_cap: int = 512,
 ):
     """Voxelize into [nx, ny, nz]. The target box must satisfy
     nx >= window_x, ny >= window_y; blocks larger than the window are
     clipped to it only if they fit — oversized blocks fall back to a dense
-    evaluation path (exact)."""
+    evaluation path (exact). candidate_cap=None sizes the kernel grid to the
+    total block count (never drops a block); smaller static caps trade a
+    possible drop for fewer grid steps."""
     nx, ny, nz = (int(v) for v in n_voxel)
     wx, wy = min(window_x, nx), min(window_y, ny)
     n = prep.center_vox.shape[0]
@@ -303,6 +304,8 @@ def voxelize_pallas(
         feats = jnp.concatenate([feats, jnp.zeros((pad, NF3), feats.dtype)], 0)
     npad = feats.shape[0]
     nb = npad // G
+    if candidate_cap is None:
+        candidate_cap = nb
     fb = feats.reshape(nb, G, NF3)
     valid = fb[:, :, 9] > 0.0
     big = jnp.float32(1e9)
@@ -352,12 +355,22 @@ def voxelize_pallas(
     )
     vol = vol2d.reshape(nx, ny, nz)
 
-    # dense fallback for oversized blocks
+    # dense fallback for oversized blocks (cond-gated: free when empty)
     gmask = (dense_blocks[:, None] & valid).reshape(npad)
     dcount = jnp.sum(gmask.astype(jnp.int32))
-    idx = jnp.nonzero(gmask, size=512, fill_value=0)[0]
+    idx = jnp.nonzero(gmask, size=dense_cap, fill_value=0)[0]
+    vol = vol + jax.lax.cond(
+        dcount > 0,
+        lambda fe, ix, c: _dense_fallback3(fe, ix, c, nx, ny, nz, dense_cap),
+        lambda fe, ix, c: jnp.zeros((nx, ny, nz), jnp.float32),
+        feats, idx, dcount,
+    )
+    return vol
+
+
+def _dense_fallback3(feats, idx, dcount, nx, ny, nz, dense_cap):
     f = feats[idx]
-    livef = (jnp.arange(512) < dcount)[:, None]
+    livef = (jnp.arange(dense_cap) < dcount)[:, None]
     wgt = jnp.where(livef[:, 0], f[:, 9], 0.0)
     xs = jnp.arange(nx, dtype=jnp.float32) + 0.5
     ys = jnp.arange(ny, dtype=jnp.float32) + 0.5
@@ -383,5 +396,4 @@ def voxelize_pallas(
         & (zs[None, None, :, None] < f[None, None, None, :, 15])
         & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
     )
-    vol = vol + jnp.sum(jnp.where(ok, alpha, 0.0), axis=3)
-    return vol
+    return jnp.sum(jnp.where(ok, alpha, 0.0), axis=3)

@@ -70,6 +70,25 @@ def morton_code(xyz: jnp.ndarray, lo=-1.0, hi=1.0) -> jnp.ndarray:
     )
 
 
+OVERSIZE_SCALE = 0.09  # world units; ~ footprint beyond the largest window
+
+
+def size_class(max_scale: jnp.ndarray) -> jnp.ndarray:
+    """0 = normal, 1 = oversize. Blocks are formed from consecutive sorted
+    gaussians; segregating only the (few) gaussians whose own footprint
+    exceeds every kernel window tier keeps them from dragging whole blocks
+    into the dense fallback, while preserving full Morton locality for the
+    rest (finer size bucketing measurably *hurts* — it fragments locality)."""
+    return (max_scale > OVERSIZE_SCALE).astype(jnp.int32)
+
+
+def _compaction_order(xyz, max_scale, active):
+    """lexsort: active first, then size class, then Morton code."""
+    return jnp.lexsort(
+        (morton_code(xyz), size_class(max_scale), ~active)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "scale_bound"), donate_argnums=(1, 2, 3))
 def densify_and_prune(
     key,
@@ -162,10 +181,10 @@ def densify_and_prune(
         prune |= jnp.max(ext_scales, axis=-1) > cfg.max_scale
     ext_active &= ~prune
 
-    # --- compact back to capacity, spatially sorted ---
-    morton = morton_code(ext.xyz)
-    key_sort = jnp.where(ext_active, morton, jnp.int32(2**30))
-    order = jnp.argsort(key_sort, stable=True)[:cap]
+    # --- compact back to capacity, sorted by (active, size, Morton) ---
+    order = _compaction_order(
+        ext.xyz, jnp.max(ext_scales, axis=-1), ext_active
+    )[:cap]
 
     def take(a):
         return a[order]
@@ -193,13 +212,14 @@ def densify_and_prune(
     return new_params, new_adam, new_aux, jnp.sum(new_active.astype(jnp.int32))
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def resort_spatial(params: GaussianParams, adam: AdamState, aux: GaussianAux):
-    """Re-sort live gaussians by Morton code (no densify). Used to restore
-    block locality for the splat kernels when positions have drifted."""
-    morton = morton_code(params.xyz)
-    key_sort = jnp.where(aux.active, morton, jnp.int32(2**30))
-    order = jnp.argsort(key_sort, stable=True)
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("scale_bound",))
+def resort_spatial(params: GaussianParams, adam: AdamState, aux: GaussianAux,
+                   scale_bound=None):
+    """Re-sort live gaussians by (size class, Morton code) — no densify.
+    Used to restore block locality for the splat kernels when positions have
+    drifted."""
+    max_sc = jnp.max(scale_activation(params.scaling, scale_bound), axis=-1)
+    order = _compaction_order(params.xyz, max_sc, aux.active)
     take = lambda a: a[order]
     return (
         jax.tree.map(take, params),
