@@ -26,9 +26,10 @@ def mkopt(**kw):
     o.update(kw)
     return types.SimpleNamespace(**o)
 
-def run(name, opt, chunk=10):
+def run(name, opt, chunk=10, cap=None):
     try:
-        params, aux = create_from_pcd(pts[:, :3].astype(np.float32), pts[:, 3], sb)
+        params, aux = create_from_pcd(pts[:, :3].astype(np.float32), pts[:, 3], sb,
+                                      capacity=cap)
         tr = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
         m, _ = tr.run_chunk(chunk); np.asarray(m)
         t0 = time.time(); m, _ = tr.run_chunk(chunk); np.asarray(m)
@@ -39,8 +40,6 @@ def run(name, opt, chunk=10):
         print(f"{name:28s} FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
         return False
 
-run("l1 only", mkopt(lambda_dssim=0.0, lambda_tv=0.0))
-run("l1+ssim", mkopt(lambda_tv=0.0))
-run("l1+tv", mkopt(lambda_dssim=0.0))
-run("full", mkopt())
 run("full chunk100", mkopt(), chunk=100)
+run("full chunk100 cap262k", mkopt(), chunk=100, cap=262_144)
+run("l1 only cap262k", mkopt(lambda_dssim=0.0, lambda_tv=0.0), cap=262_144)

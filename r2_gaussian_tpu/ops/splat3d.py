@@ -51,6 +51,17 @@ def _chunk3(wx: int, wy: int, vz: int, target_px: int = 2048):
     return rcx, rcy
 
 
+def _aligned3(rcy: int, vz: int) -> bool:
+    """True when y-window lane offsets can be kept 128-aligned, enabling
+    direct dynamic lane slices of the volume scratch. The alternative
+    (0/1 selector matmuls over the full scratch width) costs
+    O(width) VMEM/flops per chunk — at 256-slab width that spilled 162MB."""
+    return 128 % vz == 0 and (rcy * vz) % 128 == 0
+
+
+_UNROLL3 = 12  # chunk loops longer than this stay rolled (register pressure)
+
+
 def _fwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, vol, *, wx,
                  wy, vz, vxs, vys, z_off, nsteps):
     """ids_ref: block id per grid step; origin_ref: packed (ox | oy<<16)."""
@@ -83,37 +94,52 @@ def _fwd3_body(ids_ref, origin_ref, data_ref, vol, i, *, wx, wy, vz, vys, z_off)
     zlo, zhi = data[14:15], data[15:16]
 
     rcx, rcy = _chunk3(wx, wy, vz)
+    aligned = _aligned3(rcy, vz)
     p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
     ly = (p // vz) % rcy
     lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
+    nsx, nsy = wx // rcx, wy // rcy
 
-    for sx in range(wx // rcx):
-        rows_acc = jnp.zeros((rcx, vys * vz), jnp.float32)
-        vxf = (lx + (ox + sx * rcx)).astype(jnp.float32) + 0.5
-        for sy in range(wy // rcy):
-            vyf = (ly + (oy + sy * rcy)).astype(jnp.float32) + 0.5
-            dx = vxf - cx  # (P, G)
-            dy = vyf - cy
-            dz = vzf - cz
-            power = (
-                -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-                - ib * dx * dy - ic * dx * dz - ie * dy * dz
-            )
-            alpha = w * jnp.exp(power)
-            ok = (
-                (vxf >= xlo) & (vxf < xhi)
-                & (vyf >= ylo) & (vyf < yhi)
-                & (vzf >= zlo) & (vzf < zhi)
-                & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-            )
-            contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
-            patch = _to_grid(contrib, rcx, rcy * vz)
-            sel = _col_selector((oy + sy * rcy) * vz, rcy * vz, vys * vz)
-            rows_acc = rows_acc + _place(patch, sel)
-        cur = vol[pl.ds(ox + sx * rcx, rcx), :]
-        vol[pl.ds(ox + sx * rcx, rcx), :] = cur + rows_acc
+    def one_chunk(step, _):
+        sx, sy = step // nsy, step % nsy
+        x0 = pl.multiple_of(ox + sx * rcx, 8)
+        y0 = oy + sy * rcy
+        vxf = (lx + x0).astype(jnp.float32) + 0.5
+        vyf = (ly + y0).astype(jnp.float32) + 0.5
+        dx = vxf - cx  # (P, G)
+        dy = vyf - cy
+        dz = vzf - cz
+        power = (
+            -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
+            - ib * dx * dy - ic * dx * dz - ie * dy * dz
+        )
+        alpha = w * jnp.exp(power)
+        ok = (
+            (vxf >= xlo) & (vxf < xhi)
+            & (vyf >= ylo) & (vyf < yhi)
+            & (vzf >= zlo) & (vzf < zhi)
+            & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
+        )
+        contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
+        patch = _to_grid(contrib, rcx, rcy * vz)
+        if aligned:
+            l0 = pl.multiple_of(y0 * vz, 128)
+            cur = vol[pl.ds(x0, rcx), pl.ds(l0, rcy * vz)]
+            vol[pl.ds(x0, rcx), pl.ds(l0, rcy * vz)] = cur + patch
+        else:
+            sel = _col_selector(y0 * vz, rcy * vz, vys * vz)
+            rows = _place(patch, sel)
+            cur = vol[pl.ds(x0, rcx), :]
+            vol[pl.ds(x0, rcx), :] = cur + rows
+        return 0
+
+    if nsx * nsy <= _UNROLL3:
+        for step in range(nsx * nsy):
+            one_chunk(step, 0)
+    else:
+        jax.lax.fori_loop(0, nsx * nsy, one_chunk, 0)
 
 
 def _bwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, gvol_ref, dout_ref,
@@ -141,55 +167,70 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
     zlo, zhi = data[14:15], data[15:16]
 
     rcx, rcy = _chunk3(wx, wy, vz)
+    aligned = _aligned3(rcy, vz)
     p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
     ly = (p // vz) % rcy
     lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
+    nsx, nsy = wx // rcx, wy // rcy
 
     def rsum(x):
         return jnp.sum(x, axis=0)[None]
 
+    def one_chunk(step, acc):
+        dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw = acc
+        sx, sy = step // nsy, step % nsy
+        x0 = pl.multiple_of(ox + sx * rcx, 8)
+        y0 = oy + sy * rcy
+        vxf = (lx + x0).astype(jnp.float32) + 0.5
+        vyf = (ly + y0).astype(jnp.float32) + 0.5
+        if aligned:
+            l0 = pl.multiple_of(y0 * vz, 128)
+            gv = gvol_ref[pl.ds(x0, rcx), pl.ds(l0, rcy * vz)]
+        else:
+            sel = _col_selector(y0 * vz, rcy * vz, vys * vz)
+            gv = _extract(gvol_ref[pl.ds(x0, rcx), :], sel)
+        gcol = _to_column(gv, rcx, rcy * vz)
+
+        dx = vxf - cx
+        dy = vyf - cy
+        dz = vzf - cz
+        power = (
+            -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
+            - ib * dx * dy - ic * dx * dz - ie * dy * dz
+        )
+        e = jnp.exp(power)
+        alpha = w * e
+        ok = (
+            (vxf >= xlo) & (vxf < xhi)
+            & (vyf >= ylo) & (vyf < yhi)
+            & (vzf >= zlo) & (vzf < zhi)
+            & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
+        )
+        galpha = jnp.where(ok, gcol, 0.0)
+        gpow = galpha * alpha
+        return (
+            dcx + rsum(gpow * (ia * dx + ib * dy + ic * dz)),
+            dcy + rsum(gpow * (id_ * dy + ib * dx + ie * dz)),
+            dcz + rsum(gpow * (if_ * dz + ic * dx + ie * dy)),
+            dia + rsum(gpow * (-0.5 * dx * dx)),
+            dib + rsum(gpow * (-dx * dy)),
+            dic + rsum(gpow * (-dx * dz)),
+            did + rsum(gpow * (-0.5 * dy * dy)),
+            die + rsum(gpow * (-dy * dz)),
+            dif + rsum(gpow * (-0.5 * dz * dz)),
+            dw + rsum(galpha * e),
+        )
+
     zero = jnp.zeros((1, G), jnp.float32)
-    dcx = dcy = dcz = zero
-    dia = dib = dic = did = die = dif = dw = zero
-    for sx in range(wx // rcx):
-        gv_rows = gvol_ref[pl.ds(ox + sx * rcx, rcx), :]
-        vxf = (lx + (ox + sx * rcx)).astype(jnp.float32) + 0.5
-        for sy in range(wy // rcy):
-            vyf = (ly + (oy + sy * rcy)).astype(jnp.float32) + 0.5
-            sel = _col_selector((oy + sy * rcy) * vz, rcy * vz, vys * vz)
-            gv = _extract(gv_rows, sel)
-            gcol = _to_column(gv, rcx, rcy * vz)
-
-            dx = vxf - cx
-            dy = vyf - cy
-            dz = vzf - cz
-            power = (
-                -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-                - ib * dx * dy - ic * dx * dz - ie * dy * dz
-            )
-            e = jnp.exp(power)
-            alpha = w * e
-            ok = (
-                (vxf >= xlo) & (vxf < xhi)
-                & (vyf >= ylo) & (vyf < yhi)
-                & (vzf >= zlo) & (vzf < zhi)
-                & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-            )
-            galpha = jnp.where(ok, gcol, 0.0)
-            gpow = galpha * alpha
-
-            dcx = dcx + rsum(gpow * (ia * dx + ib * dy + ic * dz))
-            dcy = dcy + rsum(gpow * (id_ * dy + ib * dx + ie * dz))
-            dcz = dcz + rsum(gpow * (if_ * dz + ic * dx + ie * dy))
-            dia = dia + rsum(gpow * (-0.5 * dx * dx))
-            dib = dib + rsum(gpow * (-dx * dy))
-            dic = dic + rsum(gpow * (-dx * dz))
-            did = did + rsum(gpow * (-0.5 * dy * dy))
-            die = die + rsum(gpow * (-dy * dz))
-            dif = dif + rsum(gpow * (-0.5 * dz * dz))
-            dw = dw + rsum(galpha * e)
+    acc = (zero,) * 10
+    if nsx * nsy <= _UNROLL3:
+        for step in range(nsx * nsy):
+            acc = one_chunk(step, acc)
+    else:
+        acc = jax.lax.fori_loop(0, nsx * nsy, one_chunk, acc)
+    dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw = acc
     dout_ref[0] = jnp.concatenate(
         [dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw,
          zero, zero, zero, zero, zero, zero], axis=0
@@ -328,7 +369,14 @@ def voxelize_pallas(
     # x origin 8-aligned (sublane dynamic-slice constraint); window carries
     # up to 7 rows of slack for it
     ox = jnp.clip((bxlo.astype(jnp.int32) // 8) * 8, 0, ((nx - wx) // 8) * 8)
-    oy = jnp.clip(bylo.astype(jnp.int32), 0, ny - wy)
+    rcx, rcy = _chunk3(wx, wy, nz)
+    if _aligned3(rcy, nz):
+        # y origin quantized so lane offsets (oy*vz) stay 128-aligned and
+        # the kernel can slice the volume scratch directly
+        q = max(1, 128 // nz)
+        oy = jnp.clip((bylo.astype(jnp.int32) // q) * q, 0, ((ny - wy) // q) * q)
+    else:
+        oy = jnp.clip(bylo.astype(jnp.int32), 0, ny - wy)
     fits = (jnp.minimum(bxhi, nx) <= (ox + wx).astype(jnp.float32)) & (
         jnp.minimum(byhi, ny) <= (oy + wy).astype(jnp.float32)
     )

@@ -242,6 +242,10 @@ class Trainer:
             self.state, jnp.asarray(views), keys, jnp.asarray(skip),
             jnp.int32(self.iteration),
         )
+        # Sync per dispatch: queueing several multi-second dispatches makes
+        # some TPU runtimes declare the worker dead ("crashed or restarted").
+        # Cost: one host round-trip per chunk (~0.3 ms/iteration at K=100).
+        jax.block_until_ready(metrics)
         self.iteration += n_steps
 
         n_active = None
