@@ -114,11 +114,9 @@ def main():
     trainer = Trainer(cams, scanner, opt, scale_bound, params, aux,
                       backend="auto")
 
-    # warmup: compiles + first densify events
+    # warmup: compiles + first densify events (run_chunk syncs per dispatch)
     while trainer.iteration < warm_iters:
         trainer.run_chunk(min(100, warm_iters - trainer.iteration))
-    m, _ = trainer.run_chunk(1)
-    np.asarray(m)  # sync
 
     t0 = time.time()
     done = 0
@@ -126,7 +124,6 @@ def main():
         k = min(100, bench_iters - done)
         m, _ = trainer.run_chunk(k)
         done += k
-    np.asarray(m)  # sync
     wall = time.time() - t0
     it_per_sec = bench_iters / wall
 
@@ -141,7 +138,7 @@ def main():
             "detector": det, "volume": vol_size,
             "n_gaussians": int(np.asarray(trainer.state.aux.n_active)),
             "platform": "tpu" if on_tpu else "cpu",
-            "measured_iters": f"{warm_iters + 1}-{warm_iters + 1 + bench_iters}",
+            "measured_iters": f"{warm_iters + 1}-{warm_iters + bench_iters}",
             "capacity": int(trainer.state.params.capacity),
             "projected_time_to_30k_min": round(30_000 / it_per_sec / 60, 2),
             "loss": float(np.asarray(m)[-1, 0]),

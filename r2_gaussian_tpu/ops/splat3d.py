@@ -328,16 +328,15 @@ def voxelize_pallas(
     window_x: int = 32,
     window_y: int = 32,
     candidate_cap: int | None = None,
-    dense_cap: int = 512,
 ):
-    """Voxelize into [nx, ny, nz]. The target box must satisfy
-    nx >= window_x, ny >= window_y; blocks larger than the window are
-    clipped to it only if they fit — oversized blocks fall back to a dense
-    evaluation path (exact). candidate_cap=None sizes the kernel grid to the
-    total block count (never drops a block); smaller static caps trade a
-    possible drop for fewer grid steps."""
+    """Voxelize into [nx, ny, nz].
+
+    Blocks are routed to the smallest (x, y) window tier covering their
+    bounding box; the terminal tier is the full (nx, ny) plane, so every
+    overlapping block is rendered exactly — nothing is ever dropped. For
+    the per-iteration TV query (box == window) all tiers collapse into one.
+    candidate_cap=None sizes each tier's grid to the total block count."""
     nx, ny, nz = (int(v) for v in n_voxel)
-    wx, wy = min(window_x, nx), min(window_y, ny)
     n = prep.center_vox.shape[0]
     pad = (-n) % G
     feats = _build_features3(prep)
@@ -366,82 +365,56 @@ def voxelize_pallas(
     overlap = has_any & (bxlo < nx) & (bxhi > 0) & (bylo < ny) & (byhi > 0) \
         & (bzlo < nz) & (bzhi > 0)
 
-    # x origin 8-aligned (sublane dynamic-slice constraint); window carries
-    # up to 7 rows of slack for it
-    ox = jnp.clip((bxlo.astype(jnp.int32) // 8) * 8, 0, ((nx - wx) // 8) * 8)
-    rcx, rcy = _chunk3(wx, wy, nz)
-    if _aligned3(rcy, nz):
-        # y origin quantized so lane offsets (oy*vz) stay 128-aligned and
-        # the kernel can slice the volume scratch directly
-        q = max(1, 128 // nz)
-        oy = jnp.clip((bylo.astype(jnp.int32) // q) * q, 0, ((ny - wy) // q) * q)
-    else:
-        oy = jnp.clip(bylo.astype(jnp.int32), 0, ny - wy)
-    fits = (jnp.minimum(bxhi, nx) <= (ox + wx).astype(jnp.float32)) & (
-        jnp.minimum(byhi, ny) <= (oy + wy).astype(jnp.float32)
-    )
+    # window tiers, ending with the full plane (catches any block)
+    tiers, seen = [], set()
+    for wx_t, wy_t in ((window_x, window_y), (2 * window_x, 2 * window_y),
+                       (4 * window_x, 4 * window_y), (nx, ny)):
+        t = (min(wx_t, nx), min(wy_t, ny))
+        if t not in seen:
+            seen.add(t)
+            tiers.append(t)
 
-    kernel_blocks = overlap & fits
-    dense_blocks = overlap & ~fits
+    kweights = fb[:, :, 9]
+    kfeats_base = fb
+    vol = None
+    assigned = ~overlap  # non-overlapping blocks need no tier
+    for wx, wy in tiers:
+        # x origin 8-aligned (sublane dynamic-slice constraint); window
+        # carries up to 7 rows of slack for it
+        ox = jnp.clip((bxlo.astype(jnp.int32) // 8) * 8, 0,
+                      max(((nx - wx) // 8) * 8, 0))
+        rcx, rcy = _chunk3(wx, wy, nz)
+        if _aligned3(rcy, nz):
+            # y origin quantized so lane offsets (oy*vz) stay 128-aligned
+            # and the kernel can slice the volume scratch directly
+            q = max(1, 128 // nz)
+            oy = jnp.clip((bylo.astype(jnp.int32) // q) * q, 0,
+                          max(((ny - wy) // q) * q, 0))
+        else:
+            oy = jnp.clip(bylo.astype(jnp.int32), 0, max(ny - wy, 0))
+        fits = (jnp.minimum(bxhi, nx) <= (ox + wx).astype(jnp.float32)) & (
+            jnp.minimum(byhi, ny) <= (oy + wy).astype(jnp.float32)
+        )
+        mine = fits & ~assigned
+        assigned = assigned | mine
 
-    # compact kernel block ids (+ origins) into the candidate capacity;
-    # pad steps point at an appended all-zero block (index nb)
-    ids = jnp.nonzero(kernel_blocks, size=candidate_cap, fill_value=nb)[0]
-    safe = jnp.minimum(ids, nb - 1)
-    ids = ids.astype(jnp.int32)
-    origins = (ox[safe] | (oy[safe] << 16)).astype(jnp.int32)
+        # compact this tier's block ids (+ origins); pad steps point at an
+        # appended all-zero block (index nb)
+        ids = jnp.nonzero(mine, size=candidate_cap, fill_value=nb)[0]
+        safe = jnp.minimum(ids, nb - 1)
+        ids = ids.astype(jnp.int32)
+        origins = (ox[safe] | (oy[safe] << 16)).astype(jnp.int32)
 
-    # zero weights of blocks routed elsewhere
-    kweights = jnp.where(kernel_blocks[:, None], fb[:, :, 9], 0.0)
-    kfeats = fb.at[:, :, 9].set(kweights)
-    kdata = jnp.swapaxes(kfeats, 1, 2)  # [NB, NF3, G]
-    kdata = jnp.concatenate([kdata, jnp.zeros((1, NF3, G), kdata.dtype)], 0)
+        kfeats = kfeats_base.at[:, :, 9].set(
+            jnp.where(mine[:, None], kweights, 0.0)
+        )
+        kdata = jnp.swapaxes(kfeats, 1, 2)  # [NB, NF3, G]
+        kdata = jnp.concatenate([kdata, jnp.zeros((1, NF3, G), kdata.dtype)], 0)
 
-    count = jnp.sum(kernel_blocks.astype(jnp.int32))[None]
-    vol2d = _splat3_blocks(
-        kdata, ids, origins, jax.lax.stop_gradient(count), nx, ny, nz, wx, wy, 0
-    )
-    vol = vol2d.reshape(nx, ny, nz)
-
-    # dense fallback for oversized blocks (cond-gated: free when empty)
-    gmask = (dense_blocks[:, None] & valid).reshape(npad)
-    dcount = jnp.sum(gmask.astype(jnp.int32))
-    idx = jnp.nonzero(gmask, size=dense_cap, fill_value=0)[0]
-    vol = vol + jax.lax.cond(
-        dcount > 0,
-        lambda fe, ix, c: _dense_fallback3(fe, ix, c, nx, ny, nz, dense_cap),
-        lambda fe, ix, c: jnp.zeros((nx, ny, nz), jnp.float32),
-        feats, idx, dcount,
-    )
-    return vol
-
-
-def _dense_fallback3(feats, idx, dcount, nx, ny, nz, dense_cap):
-    f = feats[idx]
-    livef = (jnp.arange(dense_cap) < dcount)[:, None]
-    wgt = jnp.where(livef[:, 0], f[:, 9], 0.0)
-    xs = jnp.arange(nx, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(ny, dtype=jnp.float32) + 0.5
-    zs = jnp.arange(nz, dtype=jnp.float32) + 0.5
-    dx = xs[:, None, None, None] - f[None, None, None, :, 0]
-    dy = ys[None, :, None, None] - f[None, None, None, :, 1]
-    dz = zs[None, None, :, None] - f[None, None, None, :, 2]
-    power = (
-        -0.5 * (f[None, None, None, :, 3] * dx * dx
-                + f[None, None, None, :, 6] * dy * dy
-                + f[None, None, None, :, 8] * dz * dz)
-        - f[None, None, None, :, 4] * dx * dy
-        - f[None, None, None, :, 5] * dx * dz
-        - f[None, None, None, :, 7] * dy * dz
-    )
-    alpha = wgt[None, None, None, :] * jnp.exp(power)
-    ok = (
-        (xs[:, None, None, None] >= f[None, None, None, :, 10])
-        & (xs[:, None, None, None] < f[None, None, None, :, 11])
-        & (ys[None, :, None, None] >= f[None, None, None, :, 12])
-        & (ys[None, :, None, None] < f[None, None, None, :, 13])
-        & (zs[None, None, :, None] >= f[None, None, None, :, 14])
-        & (zs[None, None, :, None] < f[None, None, None, :, 15])
-        & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-    )
-    return jnp.sum(jnp.where(ok, alpha, 0.0), axis=3)
+        count = jnp.sum(mine.astype(jnp.int32))[None]
+        vol2d = _splat3_blocks(
+            kdata, ids, origins, jax.lax.stop_gradient(count),
+            nx, ny, nz, wx, wy, 0,
+        )
+        vol = vol2d if vol is None else vol + vol2d
+    return vol.reshape(nx, ny, nz)

@@ -225,8 +225,23 @@ class Trainer:
         )
 
     def run_chunk(self, n_steps: int):
-        """Run n_steps iterations in one dispatch; apply a densification
-        event afterwards if the last iteration triggers one."""
+        """Run n_steps iterations, splitting dispatches at densification
+        boundaries so events fire no matter how the caller chunks the run.
+        Returns (metrics of the LAST dispatch, n_active or None)."""
+        metrics, n_active = None, None
+        di = int(self.opt.densification_interval)
+        remaining = int(n_steps)
+        while remaining:
+            to_boundary = ((self.iteration // di) + 1) * di - self.iteration
+            k = min(remaining, to_boundary)
+            metrics, n = self._dispatch(k)
+            n_active = n if n is not None else n_active
+            remaining -= k
+        return metrics, n_active
+
+    def _dispatch(self, n_steps: int):
+        """Run n_steps iterations in one fused dispatch; apply a
+        densification event afterwards if the last iteration triggers one."""
         views = self._next_views(n_steps)
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, n_steps)
