@@ -9,7 +9,8 @@ from r2_gaussian_tpu.dataset.geometry import build_cameras
 from r2_gaussian_tpu.models.gaussians import activate, create_from_pcd
 from r2_gaussian_tpu.models.render import query_volume
 from r2_gaussian_tpu.pipeline.trainer import Trainer
-from r2_gaussian_tpu.utils.metrics import metric_vol_psnr
+from r2_gaussian_tpu.models.render import render
+from r2_gaussian_tpu.utils.metrics import metric_proj, metric_vol_psnr
 
 d = np.load("/root/repo/.bench_data/sl_256_512_25_50000.npz", allow_pickle=True)
 vol_gt, projs, angles, scanner, pts = (d["vol"], d["projs"], d["angles"],
@@ -40,8 +41,20 @@ def eval_psnr():
                        backend="pallas")
     return metric_vol_psnr(vol_gt, np.asarray(vol))
 
+def eval_psnr2d():
+    xyz, scales, rots, dens = activate(trainer.state.params, sb)
+    out = []
+    for vi in (0, 12):
+        img = render(xyz, scales, rots, dens, w2c=jnp.asarray(cams.w2c[vi]),
+                     full_proj=jnp.asarray(cams.full_proj[vi]),
+                     width=512, height=512, tanfovx=cams.tanfovx,
+                     tanfovy=cams.tanfovy, mode=cams.mode,
+                     active=trainer.state.aux.active, backend="pallas")["render"]
+        out.append(round(float(metric_proj(np.asarray(projs[vi])[None], np.asarray(img)[None])['psnr_2d']), 2))
+    return out
+
 t_start = time.time()
-evals = [1000, 2000, 3000, 5000, 8000]
+evals = [500, 1000, 2000, 3000, 5000, 8000]
 for target in evals:
     while trainer.iteration < target:
         k = min(100, target - trainer.iteration)
@@ -49,5 +62,6 @@ for target in evals:
     loss = float(np.asarray(m)[-1, 0])
     psnr = eval_psnr()
     n = int(np.asarray(trainer.state.aux.n_active))
-    print(f"iter {trainer.iteration}: psnr3d={psnr:.2f} loss={loss:.4f} "
-          f"n={n} wall={time.time()-t_start:.0f}s", flush=True)
+    p2d = eval_psnr2d()
+    print(f"iter {trainer.iteration}: psnr3d={psnr:.2f} psnr2d={p2d} "
+          f"loss={loss:.4f} n={n} wall={time.time()-t_start:.0f}s", flush=True)

@@ -163,6 +163,11 @@ def create_from_pcd(
     order = np.argsort(_morton_np(xyz), kind="stable")
     xyz, density = xyz[order], density[order]
     dist = np.sqrt(np.maximum(mean_sq_dist_knn3(xyz.astype(np.float32)), 0.001**2))
+    # Robustness: isolated FDK-noise samples have huge 3-NN distances; a
+    # sigma~volume gaussian carries ~sigma^3 spurious mass, stays visible in
+    # every view, and densifies without bound. Cap at a multiple of the
+    # median neighbor distance.
+    dist = np.minimum(dist, 8.0 * float(np.median(dist)))
     if scale_bound is not None:
         dist = np.clip(dist, scale_bound[0] + EPS, scale_bound[1] - EPS)
     scales_raw = np.asarray(

@@ -115,6 +115,13 @@ def densify_and_prune(
     if do_densify:
         can = n_active < cfg.max_num_gaussians
         hot = act & (grad_avg >= cfg.grad_threshold) & can
+        # Budget-clamp the event so the population never exceeds
+        # max_num_gaussians (the reference only gates the event start,
+        # gaussian_model.py:512, so a single event can overshoot up to 2x;
+        # bounded growth keeps the fixed-capacity buffers and dispatch
+        # length under control).
+        budget = jnp.maximum(cfg.max_num_gaussians - n_active, 0)
+        hot = hot & (jnp.cumsum(hot.astype(jnp.int32)) <= budget)
         clone_mask = hot & (max_sc <= cfg.densify_scale_threshold)
         split_mask = hot & (max_sc > cfg.densify_scale_threshold)
     else:

@@ -288,7 +288,9 @@ class Trainer:
         cap = self.state.params.capacity
         n = int(self.state.aux.n_active)
         limit = self.densify_cfg.max_num_gaussians
-        need = min(2 * n, 2 * limit)
+        # densify is budget-clamped, so one event reaches at most
+        # min(2n, max(n, limit)) active gaussians
+        need = min(2 * n, max(limit, n))
         if need <= cap:
             return
         new_cap = cap
