@@ -9,13 +9,13 @@ Re-derivation of the reference CUDA preprocess (cuda_rasterizer/forward.cu):
   - conic = inverse 2x2 covariance, 3-sigma pixel radius from the largest
     eigenvalue (forward.cu:260-274)
   - near culling at view z <= 0.2 (auxiliary.h in_frustum)
-  - 16x16 tile rectangle (auxiliary.h getRect) -- this tile granularity is
-    part of the reference's *output semantics* (a Gaussian contributes to
-    every pixel of every tile its rect covers, subject to the alpha cutoff),
-    so we reproduce it exactly.
+  - 16x16 tile rectangle (auxiliary.h getRect)
 
-Unlike the CUDA code, the backward pass is supplied by XLA autodiff of this
-function; tests validate gradients against finite differences.
+TPU layout note: everything here is computed COMPONENT-WISE on (N,) arrays.
+Batched-small-matrix forms ((N,3,3) einsums, (N,4) quaternions) put the
+small axis in the 128-lane dimension, wasting >40x lanes and forcing
+relayouts — measured 30-50 ms per op at N=512k vs ~1 ms for the whole
+component-wise preprocess. The backward pass is supplied by XLA autodiff.
 """
 
 from __future__ import annotations
@@ -26,35 +26,56 @@ import jax.numpy as jnp
 
 TILE = 16  # reference config.h BLOCK_X/BLOCK_Y
 TWO_PI = 6.283185307179586
+# Per-pixel contribution cutoff (reference forward.cu:294-395 skips
+# alpha < 1e-5). Shared with the splat kernels.
+ALPHA_CUT = 1e-5
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """[N,4] (w,x,y,z), assumed normalized -> [N,3,3].
-
-    The kernel does not renormalize (forward.cu:170); normalization is the
-    model's rotation activation.
-    """
-    r, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    """[N,4] (w,x,y,z), assumed normalized -> [N,3,3]. (Row-major stack;
+    used by densify's split sampling, not the render hot path.)"""
+    rows = quat_rot_components(q[:, 0], q[:, 1], q[:, 2], q[:, 3])
     return jnp.stack(
-        [
-            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
-            jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
-            jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
-        ],
+        [jnp.stack(rows[0:3], -1), jnp.stack(rows[3:6], -1), jnp.stack(rows[6:9], -1)],
         -2,
     )
 
 
-def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
-    """World covariance Sigma = R diag(s^2) R^T, [N,3,3].
+def quat_rot_components(r, x, y, z):
+    """Rotation matrix entries (row-major 9-tuple) from quaternion
+    components, each an (N,) array (forward.cu:170-183)."""
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+    )
 
-    Full f32 precision: TPU f32 matmuls default to bf16 MXU passes, which
-    loses ~0.2% here and visibly perturbs the conic — these tiny 3x3
-    contractions must run at HIGHEST precision (negligible cost).
-    """
-    rot = quat_to_rotmat(rotations)
-    m = rot * scales[:, None, :]  # R @ diag(s)
-    return jnp.einsum("nij,nkj->nik", m, m, precision="highest")
+
+def cov3d_components(scales: jnp.ndarray, rotations: jnp.ndarray):
+    """World covariance Sigma = R diag(s^2) R^T as its 6 unique entries
+    (sxx, sxy, sxz, syy, syz, szz), each (N,)."""
+    rr = quat_rot_components(
+        rotations[:, 0], rotations[:, 1], rotations[:, 2], rotations[:, 3]
+    )
+    s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+
+    def entry(i, j):
+        return (
+            rr[3 * i] * s0 * rr[3 * j]
+            + rr[3 * i + 1] * s1 * rr[3 * j + 1]
+            + rr[3 * i + 2] * s2 * rr[3 * j + 2]
+        )
+
+    return entry(0, 0), entry(0, 1), entry(0, 2), entry(1, 1), entry(1, 2), entry(2, 2)
+
+
+def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
+    """[N,3,3] world covariance (compat wrapper over cov3d_components)."""
+    sxx, sxy, sxz, syy, syz, szz = cov3d_components(scales, rotations)
+    row0 = jnp.stack([sxx, sxy, sxz], -1)
+    row1 = jnp.stack([sxy, syy, syz], -1)
+    row2 = jnp.stack([sxz, syz, szz], -1)
+    return jnp.stack([row0, row1, row2], -2)
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -63,23 +84,52 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 class Preprocessed(NamedTuple):
-    """Per-Gaussian render primitives. All [N,...]; invalid rows have
-    weight == 0 and a degenerate off-screen rect."""
+    """Per-Gaussian render primitives, component-wise (all (N,) f32 unless
+    noted). Invalid rows have weight == 0 and a degenerate rect."""
 
-    mean2d: jnp.ndarray  # [N,2] pixel-space center
-    conic: jnp.ndarray  # [N,3] (cxx, cxy, cyy) of inverse 2D covariance
-    weight: jnp.ndarray  # [N] density * mu (0 for culled)
-    mu: jnp.ndarray  # [N] rectification factor
-    radius: jnp.ndarray  # [N] int32 pixel radius (0 for culled)
-    rect_min: jnp.ndarray  # [N,2] int32 tile-space rect (x, y), inclusive
-    rect_max: jnp.ndarray  # [N,2] int32 tile-space rect, exclusive
-    depth: jnp.ndarray  # [N] view-space z
-    px_bounds: jnp.ndarray  # [N,4] pixel-space footprint (xlo, xhi, ylo, yhi)
+    mx: jnp.ndarray  # pixel-space center x
+    my: jnp.ndarray  # pixel-space center y
+    cxx: jnp.ndarray  # conic (inverse 2D covariance) entries
+    cxy: jnp.ndarray
+    cyy: jnp.ndarray
+    weight: jnp.ndarray  # density * mu (0 for culled)
+    mu: jnp.ndarray  # rectification factor
+    radius: jnp.ndarray  # int32 3-sigma pixel radius (0 for culled)
+    xlo: jnp.ndarray  # pixel-space footprint bounds
+    xhi: jnp.ndarray
+    ylo: jnp.ndarray
+    yhi: jnp.ndarray
+    depth: jnp.ndarray  # view-space z
+    rect_min_x: jnp.ndarray  # int32 tile-space rect (inclusive)
+    rect_min_y: jnp.ndarray
+    rect_max_x: jnp.ndarray  # int32 tile-space rect (exclusive)
+    rect_max_y: jnp.ndarray
+
+    # -- stacked-view compatibility properties --------------------------
+    @property
+    def mean2d(self):
+        return jnp.stack([self.mx, self.my], -1)
+
+    @property
+    def conic(self):
+        return jnp.stack([self.cxx, self.cxy, self.cyy], -1)
+
+    @property
+    def px_bounds(self):
+        return jnp.stack([self.xlo, self.xhi, self.ylo, self.yhi], -1)
+
+    @property
+    def rect_min(self):
+        return jnp.stack([self.rect_min_x, self.rect_min_y], -1)
+
+    @property
+    def rect_max(self):
+        return jnp.stack([self.rect_max_x, self.rect_max_y], -1)
 
 
 def preprocess(
     xyz: jnp.ndarray,
-    cov3d: jnp.ndarray,
+    cov3d,
     density: jnp.ndarray,
     w2c: jnp.ndarray,
     full_proj: jnp.ndarray,
@@ -95,64 +145,96 @@ def preprocess(
 ) -> Preprocessed:
     """Project N gaussians into one view.
 
+    cov3d: either an [N,3,3] covariance or a 6-tuple of (N,) components
+    (sxx, sxy, sxz, syy, syz, szz) — prefer the tuple on TPU.
+
     `mean2d_offset_ndc` is a zeros-valued [N,2] hook whose cotangent equals
     the reference's "viewspace point gradient" used for densification
-    (NDC-space, i.e. d pix/d ndc = W/2 folded in; see backward.cu:562-563).
+    (NDC-space; see backward.cu:562-563).
 
     `footprint` selects the per-gaussian contribution mask:
-      - "tile": reference-exact — a gaussian contributes to every pixel of
-        every 16x16 tile its 3-sigma rect touches (subject to the alpha
-        cutoff), matching cuda_rasterizer getRect semantics bit-for-bit;
-      - "tight": pixels within the 3-sigma box [mean-r, mean+r] only. This
-        drops the <=0.011*w contributions in tile-corner slivers beyond
-        3 sigma (they only exist as a side effect of the reference's tile
-        binning) and shrinks every kernel window by up to 32px. PSNR-
-        equivalent; the default for training via configs.
+      - "tile": reference-exact 16x16-tile-quantized rects;
+      - "tight": alpha-aware 3-sigma box (see px_bounds comment below).
     """
-    n = xyz.shape[0]
+    if isinstance(cov3d, tuple):
+        sxx, sxy, sxz, syy, syz, szz = cov3d
+    else:
+        sxx, sxy, sxz = cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2]
+        syy, syz, szz = cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2]
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     focal_x = width / (2.0 * tanfovx)
     focal_y = height / (2.0 * tanfovy)
 
-    # View and NDC transforms (HIGHEST precision: see build_cov3d)
-    hi = "highest"
-    p_view = jnp.einsum("ni,ji->nj", xyz, w2c[:3, :3], precision=hi) + w2c[:3, 3]
-    p_hom = (
-        jnp.einsum("ni,ji->nj", xyz, full_proj[:3, :3], precision=hi)
-        + full_proj[:3, 3]
-    )
-    w_hom = jnp.einsum("ni,i->n", xyz, full_proj[3, :3], precision=hi) + full_proj[3, 3]
-    p_ndc = p_hom / (w_hom + 1e-7)[:, None]
+    # View transform components (w2c rows are constants)
+    w = w2c
+    tx = w[0, 0] * px + w[0, 1] * py + w[0, 2] * pz + w[0, 3]
+    ty = w[1, 0] * px + w[1, 1] * py + w[1, 2] * pz + w[1, 3]
+    tz = w[2, 0] * px + w[2, 1] * py + w[2, 2] * pz + w[2, 3]
 
-    # Ray-space covariance via the (3-row) EWA Jacobian (forward.cu:77-131).
-    tx, ty, tz = p_view[:, 0], p_view[:, 1], p_view[:, 2]
+    fp = full_proj
+    hx = fp[0, 0] * px + fp[0, 1] * py + fp[0, 2] * pz + fp[0, 3]
+    hy = fp[1, 0] * px + fp[1, 1] * py + fp[1, 2] * pz + fp[1, 3]
+    hw = fp[3, 0] * px + fp[3, 1] * py + fp[3, 2] * pz + fp[3, 3]
+    inv_w = 1.0 / (hw + 1e-7)
+    ndc_x = hx * inv_w
+    ndc_y = hy * inv_w
+
+    # Ray-space covariance via the (3-row) EWA Jacobian (forward.cu:77-131):
+    # T = J @ W3 (W3 = w2c[:3,:3]), cov_ray = T Sigma T^T — all expanded
+    # component-wise.
     if mode == 0:  # parallel beam: J = diag(fx, fy, 1)
-        j_mats = jnp.zeros((n, 3, 3), xyz.dtype)
-        j_mats = j_mats.at[:, 0, 0].set(focal_x)
-        j_mats = j_mats.at[:, 1, 1].set(focal_y)
-        j_mats = j_mats.at[:, 2, 2].set(1.0)
+        j00 = jnp.full_like(tz, focal_x)
+        j02 = jnp.zeros_like(tz)
+        j11 = jnp.full_like(tz, focal_y)
+        j12 = jnp.zeros_like(tz)
+        j20 = jnp.zeros_like(tz)
+        j21 = jnp.zeros_like(tz)
+        j22 = jnp.ones_like(tz)
     else:  # cone beam
         lim_x, lim_y = 1.3 * tanfovx, 1.3 * tanfovy
-        txc = jnp.clip(tx / tz, -lim_x, lim_x) * tz
-        tyc = jnp.clip(ty / tz, -lim_y, lim_y) * tz
+        inv_tz = 1.0 / tz
+        txc = jnp.clip(tx * inv_tz, -lim_x, lim_x) * tz
+        tyc = jnp.clip(ty * inv_tz, -lim_y, lim_y) * tz
         length = jnp.sqrt(txc * txc + tyc * tyc + tz * tz)
-        zeros = jnp.zeros_like(tz)
-        j_mats = jnp.stack(
-            [
-                jnp.stack([focal_x / tz, zeros, -(focal_x * txc) / (tz * tz)], -1),
-                jnp.stack([zeros, focal_y / tz, -(focal_y * tyc) / (tz * tz)], -1),
-                jnp.stack([txc / length, tyc / length, tz / length], -1),
-            ],
-            -2,
+        inv_len = 1.0 / length
+        j00 = focal_x * inv_tz
+        j02 = -(focal_x * txc) * inv_tz * inv_tz
+        j11 = focal_y * inv_tz
+        j12 = -(focal_y * tyc) * inv_tz * inv_tz
+        j20 = txc * inv_len
+        j21 = tyc * inv_len
+        j22 = tz * inv_len
+    # T rows (J has zeros at (0,1) and (1,0)):
+    # T[0,:] = j00*W[0,:] + j02*W[2,:]
+    # T[1,:] = j11*W[1,:] + j12*W[2,:]
+    # T[2,:] = j20*W[0,:] + j21*W[1,:] + j22*W[2,:]
+    t00 = j00 * w[0, 0] + j02 * w[2, 0]
+    t01 = j00 * w[0, 1] + j02 * w[2, 1]
+    t02 = j00 * w[0, 2] + j02 * w[2, 2]
+    t10 = j11 * w[1, 0] + j12 * w[2, 0]
+    t11 = j11 * w[1, 1] + j12 * w[2, 1]
+    t12 = j11 * w[1, 2] + j12 * w[2, 2]
+    t20 = j20 * w[0, 0] + j21 * w[1, 0] + j22 * w[2, 0]
+    t21 = j20 * w[0, 1] + j21 * w[1, 1] + j22 * w[2, 1]
+    t22 = j20 * w[0, 2] + j21 * w[1, 2] + j22 * w[2, 2]
+
+    def sig_dot(a0, a1, a2, b0, b1, b2):
+        """a^T Sigma b for row vectors a, b given per-component."""
+        return (
+            a0 * (sxx * b0 + sxy * b1 + sxz * b2)
+            + a1 * (sxy * b0 + syy * b1 + syz * b2)
+            + a2 * (sxz * b0 + syz * b1 + szz * b2)
         )
-    t_mats = jnp.einsum("nij,jk->nik", j_mats, w2c[:3, :3], precision=hi)  # J @ R
-    cov_ray = jnp.einsum(
-        "nij,njk,nlk->nil", t_mats, cov3d, t_mats, precision=hi
-    )  # [N,3,3]
+
+    a = sig_dot(t00, t01, t02, t00, t01, t02)  # cov_ray[0,0]
+    b = sig_dot(t00, t01, t02, t10, t11, t12)  # cov_ray[0,1]
+    c = sig_dot(t00, t01, t02, t20, t21, t22)  # cov_ray[0,2]
+    d = sig_dot(t10, t11, t12, t10, t11, t12)  # cov_ray[1,1]
+    e = sig_dot(t10, t11, t12, t20, t21, t22)  # cov_ray[1,2]
+    f = sig_dot(t20, t21, t22, t20, t21, t22)  # cov_ray[2,2]
 
     # mu = sqrt(2 pi det3 / det2), 0 when the square is non-positive
     # (forward.cu:139-155).
-    a, b, c = cov_ray[:, 0, 0], cov_ray[:, 0, 1], cov_ray[:, 0, 2]
-    d, e, f = cov_ray[:, 1, 1], cov_ray[:, 1, 2], cov_ray[:, 2, 2]
     diamond = a * d - b * b
     circ = a * d * f + 2 * b * c * e - a * e * e - f * b * b - d * c * c
     mu_sq = TWO_PI * circ / diamond
@@ -161,70 +243,76 @@ def preprocess(
     # Conic and radius (forward.cu:260-274)
     det = a * d - b * b
     det_ok = det != 0.0
-    det_safe = jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([d / det_safe, -b / det_safe, a / det_safe], -1)
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    cxx = d * inv_det
+    cxy = -b * inv_det
+    cyy = a * inv_det
     mid = 0.5 * (a + d)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
     # Pixel-space center; densification-stat hook added in NDC space.
-    ndc_xy = p_ndc[:, :2]
     if mean2d_offset_ndc is not None:
-        ndc_xy = ndc_xy + mean2d_offset_ndc
-    mean2d = jnp.stack(
-        [ndc2pix(ndc_xy[:, 0], width), ndc2pix(ndc_xy[:, 1], height)], -1
-    )
+        ndc_x = ndc_x + mean2d_offset_ndc[:, 0]
+        ndc_y = ndc_y + mean2d_offset_ndc[:, 1]
+    mx = ndc2pix(ndc_x, width)
+    my = ndc2pix(ndc_y, height)
 
     # Tile rect (auxiliary.h getRect), 16x16 tiles.
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
-    rmin_x = jnp.clip(((mean2d[:, 0] - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((mean2d[:, 1] - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(
-        ((mean2d[:, 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
-    )
-    rmax_y = jnp.clip(
-        ((mean2d[:, 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
-    )
+    rmin_x = jnp.clip(((mx - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((my - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((mx + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((my + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
-    valid = (p_view[:, 2] > 0.2) & det_ok & (tiles_touched > 0)
+    valid = (tz > 0.2) & det_ok & (tiles_touched > 0)
     if active is not None:
         valid = valid & active
     weight = jnp.where(valid, density * mu, 0.0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
     if footprint == "tile":
-        px_bounds = jnp.stack(
-            [
-                rmin_x.astype(jnp.float32) * TILE,
-                rmax_x.astype(jnp.float32) * TILE,
-                rmin_y.astype(jnp.float32) * TILE,
-                rmax_y.astype(jnp.float32) * TILE,
-            ],
-            -1,
-        )
+        xlo = rmin_x.astype(jnp.float32) * TILE
+        xhi = rmax_x.astype(jnp.float32) * TILE
+        ylo = rmin_y.astype(jnp.float32) * TILE
+        yhi = rmax_y.astype(jnp.float32) * TILE
     elif footprint == "tight":
-        px_bounds = jnp.stack(
-            [
-                jnp.maximum(mean2d[:, 0] - radius_f, 0.0),
-                jnp.minimum(mean2d[:, 0] + radius_f + 1.0, float(width)),
-                jnp.maximum(mean2d[:, 1] - radius_f, 0.0),
-                jnp.minimum(mean2d[:, 1] + radius_f + 1.0, float(height)),
-            ],
-            -1,
-        )
+        # Alpha-aware effective radius: every pixel with alpha >= ALPHA_CUT
+        # lies within sqrt(2*lambda1*ln(w/ALPHA_CUT)) of the center (lambda1
+        # bounds the marginal variances), so shrinking the 3-sigma box to
+        # that radius drops only contributions the per-pixel cutoff already
+        # zeroes — output-identical, but far smaller kernel windows for dim
+        # gaussians. `radius` (used for visibility/prune stats) keeps the
+        # reference's 3-sigma semantics.
+        w_all = density * mu
+        ln_t = jnp.log(jnp.maximum(w_all, 1e-30) / ALPHA_CUT)
+        r_alpha = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * lambda1 * ln_t, 0.0)))
+        r_eff = jnp.minimum(radius_f, r_alpha)
+        xlo = jnp.maximum(mx - r_eff, 0.0)
+        xhi = jnp.minimum(mx + r_eff + 1.0, float(width))
+        ylo = jnp.maximum(my - r_eff, 0.0)
+        yhi = jnp.minimum(my + r_eff + 1.0, float(height))
     else:
         raise ValueError(f"unknown footprint {footprint}")
 
     return Preprocessed(
-        mean2d=mean2d,
-        conic=conic,
+        mx=mx,
+        my=my,
+        cxx=cxx,
+        cxy=cxy,
+        cyy=cyy,
         weight=weight,
         mu=mu,
         radius=radius,
-        rect_min=jnp.stack([rmin_x, rmin_y], -1),
-        rect_max=jnp.stack([rmax_x, rmax_y], -1),
-        depth=p_view[:, 2],
-        px_bounds=px_bounds,
+        xlo=xlo,
+        xhi=xhi,
+        ylo=ylo,
+        yhi=yhi,
+        depth=tz,
+        rect_min_x=rmin_x,
+        rect_min_y=rmin_y,
+        rect_max_x=rmax_x,
+        rect_max_y=rmax_y,
     )

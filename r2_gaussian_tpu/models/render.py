@@ -13,7 +13,7 @@ from functools import partial
 import jax.numpy as jnp
 
 from ..ops import dense_reference
-from .preprocess import build_cov3d, preprocess
+from .preprocess import cov3d_components, preprocess
 from .voxel_preprocess import voxel_preprocess
 
 
@@ -45,13 +45,18 @@ def render(
     mean2d_offset_ndc=None,
     backend: str = "auto",
     footprint: str = "tile",
+    kernel: str = "direct",
 ):
     """Render one X-ray projection.
 
     Returns dict(render=[H,W], radii=[N] int32) — `radii > 0` is the
     reference's visibility_filter (render_query.py:145-160).
+
+    kernel (pallas backend only): "direct" = exact reference cutoff
+    semantics; "auto"/"lowrank" = Mehler MXU kernels for near-isotropic
+    blocks (untruncated semantics, see ops/splat2d.py).
     """
-    cov3d = build_cov3d(scales, rotations)
+    cov3d = cov3d_components(scales, rotations)
     prep = preprocess(
         xyz,
         cov3d,
@@ -73,7 +78,9 @@ def render(
     elif backend == "pallas":
         from ..ops import splat2d
 
-        image = splat2d.render_pallas(prep, width=width, height=height)
+        image = splat2d.render_pallas(
+            prep, width=width, height=height, kernel=kernel
+        )
     else:
         raise ValueError(f"unknown backend {backend}")
     return {"render": image, "radii": prep.radius, "prep": prep}
@@ -138,7 +145,7 @@ def query(
 ):
     """Voxelize gaussians into an [nx,ny,nz] grid (reference
     render_query.py:27-77). n_voxel must be static python ints."""
-    cov3d = build_cov3d(scales, rotations)
+    cov3d = cov3d_components(scales, rotations)
     max_scale = jnp.max(scales, axis=-1)
     prep = voxel_preprocess(
         xyz,

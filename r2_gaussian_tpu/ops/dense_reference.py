@@ -77,6 +77,46 @@ def render_dense(
     return img.reshape(height, width)
 
 
+def render_dense_untruncated(
+    prep: Preprocessed, *, width: int, height: int, gaussian_chunk: int = 4096
+) -> jnp.ndarray:
+    """Untruncated oracle: every gaussian contributes w*exp(power) at every
+    pixel (no rect/power/alpha cutoffs). This is the semantics target of the
+    low-rank Mehler kernel (splat2d), which only crops at block windows
+    sized to the alpha-aware bounds — so kernel vs oracle differences are
+    bounded by the sub-cutoff tails plus the Mehler truncation error."""
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    px = jnp.tile(xs, height)
+    py = jnp.repeat(ys, width)
+
+    def chunk(prep_c):
+        dx = px[:, None] - prep_c.mean2d[None, :, 0]
+        dy = py[:, None] - prep_c.mean2d[None, :, 1]
+        cxx, cxy, cyy = prep_c.conic[:, 0], prep_c.conic[:, 1], prep_c.conic[:, 2]
+        power = (
+            -0.5 * (cxx[None] * dx * dx + cyy[None] * dy * dy)
+            - cxy[None] * dx * dy
+        )
+        return jnp.sum(prep_c.weight[None] * jnp.exp(power), axis=1)
+
+    n = prep.mean2d.shape[0]
+    if n <= gaussian_chunk:
+        img = chunk(prep)
+    else:
+        pad = (-n) % gaussian_chunk
+        padded = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0
+            ).reshape((-1, gaussian_chunk) + a.shape[1:]),
+            prep,
+        )
+        img, _ = jax.lax.scan(
+            lambda c, p: (c + chunk(p), None), jnp.zeros_like(px), padded
+        )
+    return img.reshape(height, width)
+
+
 def _voxel_chunk(
     prep: VoxelPreprocessed, vx: jnp.ndarray, vy: jnp.ndarray, vz: jnp.ndarray
 ) -> jnp.ndarray:

@@ -303,22 +303,19 @@ _splat3_blocks.defvjp(_splat3_fwd, _splat3_bwd)
 
 
 def _build_features3(prep: VoxelPreprocessed):
+    """Component list of NF3 (N,) arrays (see splat2d layout note)."""
     b = 8.0  # BLOCK3D
-    return jnp.stack(
-        [
-            prep.center_vox[:, 0], prep.center_vox[:, 1], prep.center_vox[:, 2],
-            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
-            prep.conic[:, 3], prep.conic[:, 4], prep.conic[:, 5],
-            prep.weight,
-            prep.cube_min[:, 0].astype(jnp.float32) * b,
-            prep.cube_max[:, 0].astype(jnp.float32) * b,
-            prep.cube_min[:, 1].astype(jnp.float32) * b,
-            prep.cube_max[:, 1].astype(jnp.float32) * b,
-            prep.cube_min[:, 2].astype(jnp.float32) * b,
-            prep.cube_max[:, 2].astype(jnp.float32) * b,
-        ],
-        axis=1,
-    )
+    return [
+        prep.cx, prep.cy, prep.cz,
+        prep.ia, prep.ib, prep.ic, prep.id_, prep.ie, prep.if_,
+        prep.weight,
+        prep.cube_min_x.astype(jnp.float32) * b,
+        prep.cube_max_x.astype(jnp.float32) * b,
+        prep.cube_min_y.astype(jnp.float32) * b,
+        prep.cube_max_y.astype(jnp.float32) * b,
+        prep.cube_min_z.astype(jnp.float32) * b,
+        prep.cube_max_z.astype(jnp.float32) * b,
+    ]
 
 
 def voxelize_pallas(
@@ -337,24 +334,24 @@ def voxelize_pallas(
     the per-iteration TV query (box == window) all tiers collapse into one.
     candidate_cap=None sizes each tier's grid to the total block count."""
     nx, ny, nz = (int(v) for v in n_voxel)
-    n = prep.center_vox.shape[0]
+    n = prep.cx.shape[0]
     pad = (-n) % G
-    feats = _build_features3(prep)
+    comps = _build_features3(prep)
     if pad:
-        feats = jnp.concatenate([feats, jnp.zeros((pad, NF3), feats.dtype)], 0)
-    npad = feats.shape[0]
+        comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
+    npad = n + pad
     nb = npad // G
     if candidate_cap is None:
         candidate_cap = nb
-    fb = feats.reshape(nb, G, NF3)
-    valid = fb[:, :, 9] > 0.0
+    cb = [c.reshape(nb, G) for c in comps]
+    valid = cb[9] > 0.0
     big = jnp.float32(1e9)
 
     def bmin(c):
-        return jnp.min(jnp.where(valid, fb[:, :, c], big), axis=1)
+        return jnp.min(jnp.where(valid, cb[c], big), axis=1)
 
     def bmax(c):
-        return jnp.max(jnp.where(valid, fb[:, :, c], -big), axis=1)
+        return jnp.max(jnp.where(valid, cb[c], -big), axis=1)
 
     bxlo, bxhi = bmin(10), bmax(11)
     bylo, byhi = bmin(12), bmax(13)
@@ -374,8 +371,6 @@ def voxelize_pallas(
             seen.add(t)
             tiers.append(t)
 
-    kweights = fb[:, :, 9]
-    kfeats_base = fb
     vol = None
     assigned = ~overlap  # non-overlapping blocks need no tier
     for wx, wy in tiers:
@@ -405,10 +400,12 @@ def voxelize_pallas(
         ids = ids.astype(jnp.int32)
         origins = (ox[safe] | (oy[safe] << 16)).astype(jnp.int32)
 
-        kfeats = kfeats_base.at[:, :, 9].set(
-            jnp.where(mine[:, None], kweights, 0.0)
-        )
-        kdata = jnp.swapaxes(kfeats, 1, 2)  # [NB, NF3, G]
+        w_tier = jnp.where(mine[:, None], cb[9], 0.0).reshape(nb, 1, G)
+        kdata = jnp.concatenate(
+            [c.reshape(nb, 1, G) for c in comps[:9]] + [w_tier]
+            + [c.reshape(nb, 1, G) for c in comps[10:]],
+            axis=1,
+        )  # [NB, NF3, G]
         kdata = jnp.concatenate([kdata, jnp.zeros((1, NF3, G), kdata.dtype)], 0)
 
         count = jnp.sum(mine.astype(jnp.int32))[None]
