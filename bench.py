@@ -114,16 +114,27 @@ def main():
     trainer = Trainer(cams, scanner, opt, scale_bound, params, aux,
                       backend="auto")
 
+    verbose = bool(os.environ.get("BENCH_VERBOSE"))
+
     # warmup: compiles + first densify events (run_chunk syncs per dispatch)
     while trainer.iteration < warm_iters:
-        trainer.run_chunk(min(100, warm_iters - trainer.iteration))
+        tc = time.time()
+        k = min(100, warm_iters - trainer.iteration)
+        _, n = trainer.run_chunk(k)
+        if verbose:
+            print(f"warm it={trainer.iteration} {time.time() - tc:.2f}s"
+                  f" n_active={n}", file=sys.stderr, flush=True)
 
     t0 = time.time()
     done = 0
     while done < bench_iters:
+        tc = time.time()
         k = min(100, bench_iters - done)
-        m, _ = trainer.run_chunk(k)
+        m, n = trainer.run_chunk(k)
         done += k
+        if verbose:
+            print(f"bench it={trainer.iteration} {time.time() - tc:.2f}s"
+                  f" n_active={n}", file=sys.stderr, flush=True)
     wall = time.time() - t0
     it_per_sec = bench_iters / wall
 

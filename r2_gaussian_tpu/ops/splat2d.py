@@ -804,10 +804,11 @@ def render_pallas(
              & (comps_lr[5] > 0.0))
         )
 
+        from .compaction import take_unique
+
         nsb = SPILL_CAP // G
         sidx = jnp.nonzero(in_spill, size=SPILL_CAP, fill_value=npad)[0]
-        comps_ext = [jnp.concatenate([c, jnp.zeros((1,), c.dtype)]) for c in comps]
-        comps_sub = [c[sidx] for c in comps_ext]
+        comps_sub = [take_unique(c, sidx) for c in comps]
         kdata_sub = _kdata_from_components(comps_sub, nsb)
         v_s, sxlo, sxhi, sylo, syhi, shas = _block_bboxes(comps_sub, nsb)
         img_s, assigned_s = _run_tiers(

@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.voxel_preprocess import VoxelPreprocessed
+from .compaction import compact_lanes
 from .splat2d import (
     G,
     _col_selector,
@@ -302,47 +303,13 @@ def _splat3_bwd(vxs, vys, vz, wx, wy, z_off, res, gvol):
 _splat3_blocks.defvjp(_splat3_fwd, _splat3_bwd)
 
 
-def _build_features3(prep: VoxelPreprocessed):
-    """Component list of NF3 (N,) arrays (see splat2d layout note)."""
-    b = 8.0  # BLOCK3D
-    return [
-        prep.cx, prep.cy, prep.cz,
-        prep.ia, prep.ib, prep.ic, prep.id_, prep.ie, prep.if_,
-        prep.weight,
-        prep.cube_min_x.astype(jnp.float32) * b,
-        prep.cube_max_x.astype(jnp.float32) * b,
-        prep.cube_min_y.astype(jnp.float32) * b,
-        prep.cube_max_y.astype(jnp.float32) * b,
-        prep.cube_min_z.astype(jnp.float32) * b,
-        prep.cube_max_z.astype(jnp.float32) * b,
-    ]
-
-
-def voxelize_pallas(
-    prep: VoxelPreprocessed,
-    *,
-    n_voxel,
-    window_x: int = 32,
-    window_y: int = 32,
-    candidate_cap: int | None = None,
-):
-    """Voxelize into [nx, ny, nz].
+def _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
+                          window_x, window_y, vol0=None):
+    """Tier-routed splat of a padded NF3-component list (each (nb*G,)).
 
     Blocks are routed to the smallest (x, y) window tier covering their
     bounding box; the terminal tier is the full (nx, ny) plane, so every
-    overlapping block is rendered exactly — nothing is ever dropped. For
-    the per-iteration TV query (box == window) all tiers collapse into one.
-    candidate_cap=None sizes each tier's grid to the total block count."""
-    nx, ny, nz = (int(v) for v in n_voxel)
-    n = prep.cx.shape[0]
-    pad = (-n) % G
-    comps = _build_features3(prep)
-    if pad:
-        comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
-    npad = n + pad
-    nb = npad // G
-    if candidate_cap is None:
-        candidate_cap = nb
+    overlapping block is rendered exactly — nothing is ever dropped."""
     cb = [c.reshape(nb, G) for c in comps]
     valid = cb[9] > 0.0
     big = jnp.float32(1e9)
@@ -371,7 +338,7 @@ def voxelize_pallas(
             seen.add(t)
             tiers.append(t)
 
-    vol = None
+    vol = vol0
     assigned = ~overlap  # non-overlapping blocks need no tier
     for wx, wy in tiers:
         # x origin 8-aligned (sublane dynamic-slice constraint); window
@@ -414,4 +381,87 @@ def voxelize_pallas(
             nx, ny, nz, wx, wy, 0,
         )
         vol = vol2d if vol is None else vol + vol2d
+    return vol
+
+
+def _build_features3(prep: VoxelPreprocessed):
+    """Component list of NF3 (N,) arrays (see splat2d layout note)."""
+    b = 8.0  # BLOCK3D
+    return [
+        prep.cx, prep.cy, prep.cz,
+        prep.ia, prep.ib, prep.ic, prep.id_, prep.ie, prep.if_,
+        prep.weight,
+        prep.cube_min_x.astype(jnp.float32) * b,
+        prep.cube_max_x.astype(jnp.float32) * b,
+        prep.cube_min_y.astype(jnp.float32) * b,
+        prep.cube_max_y.astype(jnp.float32) * b,
+        prep.cube_min_z.astype(jnp.float32) * b,
+        prep.cube_max_z.astype(jnp.float32) * b,
+    ]
+
+
+GATHER_CAP = 16384  # compacted fast-path capacity for small-box queries
+GATHER_BCAP = 1024  # max source blocks visited by the compaction kernel
+
+
+def voxelize_pallas(
+    prep: VoxelPreprocessed,
+    *,
+    n_voxel,
+    window_x: int = 32,
+    window_y: int = 32,
+    candidate_cap: int | None = None,
+    gather_cap: int | None = GATHER_CAP,
+):
+    """Voxelize into [nx, ny, nz].
+
+    Small-box queries (the per-iteration TV loss: a random 32^3 sub-volume,
+    reference train.py:128-142) take a gather fast path: the gaussians that
+    actually touch the box (weight > 0 after preprocess culling) are
+    compacted into <= gather_cap/G dense blocks, preserving Morton order, so
+    the kernel visits ~n_touching gaussians instead of every block with one
+    touching member. Overflow beyond gather_cap falls back to the full
+    block-tier path (cond-gated: it only executes when triggered).
+    candidate_cap=None sizes each tier's grid to the total block count."""
+    nx, ny, nz = (int(v) for v in n_voxel)
+    n = prep.cx.shape[0]
+    pad = (-n) % G
+    comps = _build_features3(prep)
+    if pad:
+        comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
+    npad = n + pad
+    nb = npad // G
+    if candidate_cap is None:
+        candidate_cap = nb
+
+    use_gather = (
+        gather_cap is not None and gather_cap < npad and nx <= 64 and ny <= 64
+    )
+    if not use_gather:
+        vol = _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
+                                    window_x, window_y)
+        return vol.reshape(nx, ny, nz)
+
+    touching = comps[9] > 0.0
+    comps_sub, handled = compact_lanes(comps, touching, ocap=gather_cap,
+                                       bcap=GATHER_BCAP)
+    nbg = gather_cap // G
+    # gathered blocks are Morton-local -> tight bboxes -> small window tiers
+    vol = _voxelize_block_tiers(comps_sub, nbg, nbg, nx, ny, nz,
+                                min(window_x, 16), min(window_y, 16))
+
+    leftover = touching & ~handled
+
+    def overflow(comps):
+        w_left = jnp.where(leftover, comps[9], 0.0)
+        comps = comps[:9] + [w_left] + comps[10:]
+        return _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
+                                     window_x, window_y)
+
+    vol = vol + jax.lax.cond(
+        jnp.any(leftover),
+        overflow,
+        lambda comps: jnp.zeros((nx, ny * nz), jnp.float32),
+        comps,
+    )
     return vol.reshape(nx, ny, nz)

@@ -46,6 +46,7 @@ def make_train_fn(
     backend: str,
     steps_per_call: int,
     footprint: str = "tile",
+    kernel: str = "auto",
 ):
     """Build the jitted K-step training function for fixed-capacity state."""
     width, height = cameras.width, cameras.height
@@ -73,7 +74,7 @@ def make_train_fn(
             w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
             width=width, height=height, tanfovx=tanfovx, tanfovy=tanfovy,
             mode=mode, active=active, mean2d_offset_ndc=d2, backend=backend,
-            footprint=footprint,
+            footprint=footprint, kernel=kernel,
         )
         img = out["render"]
         gt = images_all[view_idx]
@@ -153,7 +154,8 @@ class Trainer:
     capacity growth, checkpoints."""
 
     def __init__(self, cameras, scanner_cfg, opt_cfg, scale_bound, params, aux,
-                 backend: str = "auto", seed: int = 0, footprint: str = "tight"):
+                 backend: str = "auto", seed: int = 0, footprint: str = "tight",
+                 kernel: str = "auto"):
         self.cameras = cameras
         self.scanner_cfg = scanner_cfg
         self.opt = opt_cfg
@@ -162,6 +164,7 @@ class Trainer:
         )
         self.backend = backend
         self.footprint = footprint
+        self.kernel = kernel
         self.state = TrainState(params=params, adam=init_adam(params), aux=aux)
         self.iteration = 0
         self.rng = np.random.default_rng(seed)
@@ -214,6 +217,7 @@ class Trainer:
                 backend=self.backend,
                 steps_per_call=steps,
                 footprint=self.footprint,
+                kernel=self.kernel,
             )
         return self._train_fns[key]
 

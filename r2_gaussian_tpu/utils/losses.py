@@ -42,17 +42,34 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_blur_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """[n, n] banded matrix B with B[i, j] = w[j - i + r]: B @ x is the 1D
+    'same' zero-padded gaussian blur along the leading axis."""
+    w = _gaussian_window(window_size, sigma)
+    r = window_size // 2
+    b = np.zeros((n, n), np.float32)
+    for k in range(window_size):
+        d = k - r
+        idx = np.arange(max(0, -d), min(n, n - d))
+        b[idx, idx + d] = w[k]
+    return b
+
+
 def _filter2d_same(img, window_size=11, sigma=1.5):
-    """Depthwise 'same' (zero-padded) separable gaussian blur of [H,W]."""
-    w = jnp.asarray(_gaussian_window(window_size, sigma))
-    x = img[None, None]  # [1,1,H,W]
-    x = lax.conv_general_dilated(
-        x, w[None, None, :, None], (1, 1), [(window_size // 2,) * 2, (0, 0)]
+    """'same' (zero-padded) separable gaussian blur of [H,W], computed as a
+    banded-matrix sandwich Bh @ img @ Bw^T. Single-channel
+    conv_general_dilated can't use the MXU (channels=1) and costs ~ms per
+    call on TPU; two f32 matmuls with constant banded operands cost ~us."""
+    h, w_ = img.shape
+    bh = jnp.asarray(_banded_blur_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_banded_blur_matrix(w_, window_size, sigma))
+    x = lax.dot(bh, img, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    return lax.dot_general(
+        x, bw, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
     )
-    x = lax.conv_general_dilated(
-        x, w[None, None, None, :], (1, 1), [(0, 0), (window_size // 2,) * 2]
-    )
-    return x[0, 0]
 
 
 def ssim(img1, img2, window_size: int = 11):

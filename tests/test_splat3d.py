@@ -51,6 +51,40 @@ def test_voxelize_oversized_fallback():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("cap", [128, 256])
+def test_voxelize_gather_path(cap):
+    """Small-box gather fast path (with and without overflow into the
+    block-tier fallback) matches the dense oracle, values and grads."""
+    xyz, scales, rots, dens = random_gaussians(900, seed=7)
+    n_vox = (32, 32, 32)
+    s_vox = (1.2, 1.2, 1.2)
+    center = (0.05, 0.1, -0.15)
+
+    def loss(backend, xyz, scales, rots, dens):
+        prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
+        if backend == "dense":
+            vol = voxelize_dense(prep, n_voxel=n_vox)
+        else:
+            vol = voxelize_pallas(prep, n_voxel=n_vox, gather_cap=cap)
+        return jnp.mean(vol * vol)
+
+    prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
+    n_touch = int(np.asarray((prep.weight > 0).sum()))
+    if cap == 128:
+        assert n_touch > cap  # overflow branch exercised
+    ref = voxelize_dense(prep, n_voxel=n_vox)
+    got = voxelize_pallas(prep, n_voxel=n_vox, gather_cap=cap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+    gd = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 3))(
+        xyz, scales, rots, dens)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3))(
+        xyz, scales, rots, dens)
+    for a, b in zip(gd, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-7)
+
+
 def test_voxelize_gradients_match():
     xyz, scales, rots, dens = random_gaussians(80, seed=2)
     n_vox = (32, 32, 32)
