@@ -150,6 +150,8 @@ def _compact_fwd(kdata, ids, meta, count, ocap, bcap):
 
 
 def _compact_bwd(ocap, bcap, res, gout):
+    from .splat2d import _grad_rows_out_spec, _mask_unvisited_rows
+
     kdata, ids, meta, count = res
     nb1, nrows = kdata.shape[0], kdata.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,19 +163,16 @@ def _compact_bwd(ocap, bcap, res, gout):
             pl.BlockSpec((nrows, ocap + G), lambda i, ids, m, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nrows, G), lambda i, ids, m, c: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=_grad_rows_out_spec(nrows),
     )
-    dstep = pl.pallas_call(
+    dkdata = pl.pallas_call(
         functools.partial(_compact_bwd_kernel, nrows=nrows, nsteps=bcap),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bcap, nrows, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb1, nrows, G), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, meta, count, kdata, gout)
-    from .splat2d import _scatter_steps_to_blocks
-
-    return _scatter_steps_to_blocks(dstep, ids, nb1), None, None, None
+    return _mask_unvisited_rows(dkdata, ids), None, None, None
 
 
 _compact_call.defvjp(_compact_fwd, _compact_bwd)

@@ -111,8 +111,50 @@ def _unpack_features(data):
 # kernels
 
 
-def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
-                wh, ww, rc, height, width, nsteps):
+def _rc_for(ww: int) -> int:
+    """Row-chunk height: bounds in-kernel temporaries to ~rc*ww*G floats."""
+    return 16 if ww <= 104 else 8
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _grad_rows_out_spec(nrows):
+    """Backward gradient out spec: each real step writes its block's row
+    directly (index map ids[i]; each block id appears at most once in ids,
+    so no scatter is needed); pad steps all land on the sentinel row (zeros
+    written once). Rows of blocks never visited stay uninitialized and are
+    masked to zero afterwards by _mask_unvisited_rows — materializing a
+    zero init buffer instead costs ~0.3 ms/MB on v5e (XLA broadcasts are
+    far below HBM bandwidth), and the dstep + inverse-permutation-gather
+    alternative costs ~1 ms/MB in the gather.
+    """
+    return pl.BlockSpec(
+        (1, nrows, G),
+        lambda i, ids, *rest: (ids[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _mask_unvisited_rows(out, ids):
+    """Zero the rows of `out` whose block was not visited (uninitialized
+    memory; jnp.where selects, so garbage/NaN never propagates)."""
+    nbp1 = out.shape[0]
+    visited = jnp.zeros((nbp1,), bool).at[ids].set(True, mode="drop")
+    return jnp.where(visited[:, None, None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# multi-tier fused kernels: ONE grid over all assigned blocks with a
+# per-step tier selector. Separate per-tier pallas calls each need an
+# nb-sized grid (worst case: every block in one tier), so k tiers cost
+# k*nb grid steps of which ~(k-1)*nb are pads — measured ~0.6 us fwd /
+# ~1 us bwd per pad step (the bwd pad also DMAs a zero output block),
+# ~30 ms/iter at nb=4096. The fused grid is nb steps total.
+
+
+def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                      out_ref, img, *, tiers, height, width, nsteps):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -125,47 +167,51 @@ def _fwd_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
         mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
+        t = tsel_ref[i]
 
-        plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
-        wxf = (plin % ww).astype(jnp.float32)
-        wyf = (plin // ww).astype(jnp.float32)
-        pxf = wxf + ox.astype(jnp.float32)
-        sel = _col_selector(ox, ww, width)
+        for ti, (wh, ww) in enumerate(tiers):
+            @pl.when(t == ti)
+            def _(wh=wh, ww=ww):
+                rc = _rc_for(ww)
+                plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
+                wxf = (plin % ww).astype(jnp.float32)
+                wyf = (plin // ww).astype(jnp.float32)
+                pxf = wxf + ox.astype(jnp.float32)
+                sel = _col_selector(ox, ww, width)
 
-        def one_chunk(step, _):
-            y0 = pl.multiple_of(oy + step * rc, 8)
-            pyf = wyf + y0.astype(jnp.float32)
-            dx = pxf - mx  # (P, G)
-            dy = pyf - my
-            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            alpha = w * jnp.exp(power)
-            ok = (
-                (pxf >= xlo) & (pxf < xhi) & (pyf >= ylo) & (pyf < yhi)
-                & (power <= 0.0) & (alpha >= ALPHA_CUT)
-            )
-            contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
-            patch = _to_grid(contrib, rc, ww)
-            rows = _place(patch, sel)  # (RC, width)
-            cur = img[pl.ds(y0, rc), :]
-            img[pl.ds(y0, rc), :] = cur + rows
-            return 0
+                def one_chunk(step, _):
+                    y0 = pl.multiple_of(oy + step * rc, 8)
+                    pyf = wyf + y0.astype(jnp.float32)
+                    dx = pxf - mx
+                    dy = pyf - my
+                    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+                    alpha = w * jnp.exp(power)
+                    ok = (
+                        (pxf >= xlo) & (pxf < xhi) & (pyf >= ylo) & (pyf < yhi)
+                        & (power <= 0.0) & (alpha >= ALPHA_CUT)
+                    )
+                    contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1,
+                                      keepdims=True)
+                    patch = _to_grid(contrib, rc, ww)
+                    rows = _place(patch, sel)
+                    cur = img[pl.ds(y0, rc), :]
+                    img[pl.ds(y0, rc), :] = cur + rows
+                    return 0
 
-        n_chunks = wh // rc
-        if n_chunks <= _UNROLL_MAX:
-            for step in range(n_chunks):
-                one_chunk(step, 0)
-        else:
-            # big windows: rolled loop keeps live registers bounded (Mosaic
-            # spills catastrophically on a 64-step unroll)
-            jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
+                n_chunks = wh // rc
+                if n_chunks <= _UNROLL_MAX:
+                    for step in range(n_chunks):
+                        one_chunk(step, 0)
+                else:
+                    jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
 
     @pl.when(i == nsteps - 1)
     def _():
         out_ref[...] = img[...]
 
 
-def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
-                wh, ww, rc, height, width):
+def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                      gimg_ref, dout_ref, *, tiers, height, width):
     i = pl.program_id(0)
     dout_ref[0] = jnp.zeros((NF, G), jnp.float32)
 
@@ -175,144 +221,129 @@ def _bwd_kernel(ids_ref, origin_ref, count_ref, data_ref, gimg_ref, dout_ref, *,
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
         mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
+        t = tsel_ref[i]
 
-        plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
-        wxf = (plin % ww).astype(jnp.float32)
-        wyf = (plin // ww).astype(jnp.float32)
-        pxf = wxf + ox.astype(jnp.float32)
-        sel = _col_selector(ox, ww, width)
+        for ti, (wh, ww) in enumerate(tiers):
+            @pl.when(t == ti)
+            def _(wh=wh, ww=ww):
+                rc = _rc_for(ww)
+                plin = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, 1), 0)
+                wxf = (plin % ww).astype(jnp.float32)
+                wyf = (plin // ww).astype(jnp.float32)
+                pxf = wxf + ox.astype(jnp.float32)
+                sel = _col_selector(ox, ww, width)
 
-        def one_chunk(step, acc):
-            dmx, dmy, dcxx, dcxy, dcyy, dw = acc
-            y0 = pl.multiple_of(oy + step * rc, 8)
-            pyf = wyf + y0.astype(jnp.float32)
-            gi = _extract(gimg_ref[pl.ds(y0, rc), :], sel)  # (rc, ww)
-            gcol = _to_column(gi, rc, ww)  # (P, 1)
-            dx = pxf - mx
-            dy = pyf - my
-            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            e = jnp.exp(power)
-            alpha = w * e
-            ok = (
-                (pxf >= xlo) & (pxf < xhi) & (pyf >= ylo) & (pyf < yhi)
-                & (power <= 0.0) & (alpha >= ALPHA_CUT)
-            )
-            galpha = jnp.where(ok, gcol, 0.0)
-            gpow = galpha * alpha  # dL/dpower = gI * w * e
-            return (
-                dmx + jnp.sum(gpow * (cxx * dx + cxy * dy), axis=0)[None],
-                dmy + jnp.sum(gpow * (cyy * dy + cxy * dx), axis=0)[None],
-                dcxx + jnp.sum(gpow * (-0.5 * dx * dx), axis=0)[None],
-                dcxy + jnp.sum(gpow * (-dx * dy), axis=0)[None],
-                dcyy + jnp.sum(gpow * (-0.5 * dy * dy), axis=0)[None],
-                dw + jnp.sum(galpha * e, axis=0)[None],
-            )
+                def one_chunk(step, acc):
+                    dmx, dmy, dcxx, dcxy, dcyy, dw = acc
+                    y0 = pl.multiple_of(oy + step * rc, 8)
+                    pyf = wyf + y0.astype(jnp.float32)
+                    gi = _extract(gimg_ref[pl.ds(y0, rc), :], sel)
+                    gcol = _to_column(gi, rc, ww)
+                    dx = pxf - mx
+                    dy = pyf - my
+                    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+                    e = jnp.exp(power)
+                    alpha = w * e
+                    ok = (
+                        (pxf >= xlo) & (pxf < xhi) & (pyf >= ylo) & (pyf < yhi)
+                        & (power <= 0.0) & (alpha >= ALPHA_CUT)
+                    )
+                    galpha = jnp.where(ok, gcol, 0.0)
+                    gpow = galpha * alpha
+                    return (
+                        dmx + jnp.sum(gpow * (cxx * dx + cxy * dy), axis=0)[None],
+                        dmy + jnp.sum(gpow * (cyy * dy + cxy * dx), axis=0)[None],
+                        dcxx + jnp.sum(gpow * (-0.5 * dx * dx), axis=0)[None],
+                        dcxy + jnp.sum(gpow * (-dx * dy), axis=0)[None],
+                        dcyy + jnp.sum(gpow * (-0.5 * dy * dy), axis=0)[None],
+                        dw + jnp.sum(galpha * e, axis=0)[None],
+                    )
 
-        zeros = jnp.zeros((1, G), jnp.float32)
-        acc = (zeros, zeros, zeros, zeros, zeros, zeros)
-        n_chunks = wh // rc
-        if n_chunks <= _UNROLL_MAX:
-            for step in range(n_chunks):
-                acc = one_chunk(step, acc)
-        else:
-            acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
-        dmx, dmy, dcxx, dcxy, dcyy, dw = acc
-        dout_ref[0] = jnp.concatenate(
-            [dmx, dmy, dcxx, dcxy, dcyy, dw, zeros, zeros, zeros, zeros], axis=0
+                zeros = jnp.zeros((1, G), jnp.float32)
+                acc = (zeros,) * 6
+                n_chunks = wh // rc
+                if n_chunks <= _UNROLL_MAX:
+                    for step in range(n_chunks):
+                        acc = one_chunk(step, acc)
+                else:
+                    acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
+                dmx, dmy, dcxx, dcxy, dcyy, dw = acc
+                dout_ref[0] = jnp.concatenate(
+                    [dmx, dmy, dcxx, dcxy, dcyy, dw, zeros, zeros, zeros, zeros],
+                    axis=0,
+                )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _splat_multi(data_ext, ids, origins, tsel, count, height, width, tiers):
+    """Fused multi-tier direct splat. data_ext: [NB+1, NF, G] (zero
+    sentinel last); ids/origins/tsel: [CAP] (pad id = NB); count: [1]."""
+    return _splat_multi_fwd_impl(data_ext, ids, origins, tsel, count, height,
+                                 width, tiers)
+
+
+def _multi_specs(cap, height, width, with_gimg):
+    in_specs = [
+        pl.BlockSpec((1, NF, G), lambda i, ids, o, t, c: (ids[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_gimg:
+        in_specs.append(
+            pl.BlockSpec((height, width), lambda i, ids, o, t, c: (0, 0),
+                         memory_space=pltpu.VMEM)
         )
+    return in_specs
 
 
-# ---------------------------------------------------------------------------
-# pallas_call wrappers with custom VJP (one tier = one call)
-
-
-def _rc_for(ww: int) -> int:
-    """Row-chunk height: bounds in-kernel temporaries to ~rc*ww*G floats."""
-    return 16 if ww <= 104 else 8
-
-
-_VMEM_LIMIT = 100 * 1024 * 1024
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _splat_tier(data_ext, ids, origins, count, height, width, wh, ww):
-    """data_ext: [NB+1, NF, G] (last row all-zero sentinel); ids: [CAP]
-    block ids (pad = NB); origins: [CAP] packed (ox | oy<<16); count: [1]."""
-    return _splat_tier_fwd_impl(data_ext, ids, origins, count, height, width, wh, ww)
-
-
-def _splat_tier_fwd_impl(data_ext, ids, origins, count, height, width, wh, ww):
+def _splat_multi_fwd_impl(data_ext, ids, origins, tsel, count, height, width,
+                          tiers):
     cap = ids.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (ids[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((height, width), lambda i, ids, o, c: (0, 0),
+        in_specs=_multi_specs(cap, height, width, False),
+        out_specs=pl.BlockSpec((height, width), lambda i, ids, o, t, c: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, wh=wh, ww=ww, rc=_rc_for(ww),
-                          height=height, width=width, nsteps=cap),
+        functools.partial(_fwd_kernel_multi, tiers=tiers, height=height,
+                          width=width, nsteps=cap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
-    )(ids, origins, count, data_ext)
+    )(ids, origins, tsel, count, data_ext)
 
 
-def _splat_tier_fwd(data_ext, ids, origins, count, height, width, wh, ww):
-    img = _splat_tier_fwd_impl(data_ext, ids, origins, count, height, width, wh, ww)
-    return img, (data_ext, ids, origins, count)
+def _splat_multi_fwd(data_ext, ids, origins, tsel, count, height, width, tiers):
+    img = _splat_multi_fwd_impl(data_ext, ids, origins, tsel, count, height,
+                                width, tiers)
+    return img, (data_ext, ids, origins, tsel, count)
 
 
-def _splat_tier_bwd(height, width, wh, ww, res, gimg):
-    data_ext, ids, origins, count = res
+def _splat_multi_bwd(height, width, tiers, res, gimg):
+    data_ext, ids, origins, tsel, count = res
     cap = ids.shape[0]
+    nbp1 = data_ext.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (ids[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((height, width), lambda i, ids, o, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=_multi_specs(cap, height, width, True),
+        out_specs=_grad_rows_out_spec(NF),
     )
-    dstep = pl.pallas_call(
-        functools.partial(_bwd_kernel, wh=wh, ww=ww, rc=_rc_for(ww),
-                          height=height, width=width),
+    dkdata = pl.pallas_call(
+        functools.partial(_bwd_kernel_multi, tiers=tiers, height=height,
+                          width=width),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, NF, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbp1, NF, G), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
-    )(ids, origins, count, data_ext, gimg)
-    return _scatter_steps_to_blocks(dstep, ids, data_ext.shape[0]), None, None, None
+    )(ids, origins, tsel, count, data_ext, gimg)
+    return _mask_unvisited_rows(dkdata, ids), None, None, None, None
 
 
-_splat_tier.defvjp(_splat_tier_fwd, _splat_tier_bwd)
-
-
-def _scatter_steps_to_blocks(dstep, ids, nbp1):
-    """Route per-grid-step gradient blocks [CAP, F, G] back to block rows
-    [NBP1, F, G] via an inverse permutation + row gather. Each real block id
-    appears at most once in `ids` (it's a compaction), so this is equivalent
-    to (but far cheaper on TPU than) a 3D scatter-add.
-
-    Blocks absent from `ids` read step cap-1: if count < cap that step is a
-    pad whose output is all-zero; if count == cap every block is present and
-    the default is fully overwritten. Pad ids point at row nbp1-1, the
-    appended all-zero sentinel block whose cotangent is discarded downstream.
-    """
-    cap = ids.shape[0]
-    inv = jnp.full((nbp1,), cap - 1, jnp.int32)
-    inv = inv.at[ids].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    return dstep[inv]
+_splat_multi.defvjp(_splat_multi_fwd, _splat_multi_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +377,7 @@ def _scatter_steps_to_blocks(dstep, ids, nbp1):
 K_LR = 6  # Mehler terms
 RHO_MAX = 0.3  # |rho| routing threshold for the low-rank path
 SPILL_CAP = 16384  # direct-path capacity for per-gaussian |rho| spill
+SPILL_BCAP = 2048  # source blocks visited by the spill compaction kernel
 
 
 def _lr_factor_u(d, ox, ww: int):
@@ -409,8 +441,8 @@ def _he_series(xh, ex, dcols, coeffs=None):
     return d_xh, dc
 
 
-def _fwd_kernel_lr(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
-                   wh, ww, rc, height, width, nsteps):
+def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                         out_ref, img, *, tiers, height, width, nsteps):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -423,37 +455,44 @@ def _fwd_kernel_lr(ids_ref, origin_ref, count_ref, data_ref, out_ref, img, *,
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
         d = data_ref[0]
-        u_mat, _, _, _ = _lr_factor_u(d, ox, ww)  # (ww, K*G)
-        u16 = u_mat.astype(jnp.bfloat16)
-        sel = _col_selector(ox, ww, width)
+        t = tsel_ref[i]
 
-        def one_chunk(step, _):
-            y0 = pl.multiple_of(oy + step * rc, 8)
-            v_mat, _, _, _ = _lr_factor_v(d, y0, rc)  # (rc, K*G)
-            patch = jax.lax.dot_general(
-                v_mat.astype(jnp.bfloat16), u16,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (rc, ww)
-            rows = _place(patch, sel)
-            cur = img[pl.ds(y0, rc), :]
-            img[pl.ds(y0, rc), :] = cur + rows
-            return 0
+        for ti, (wh, ww) in enumerate(tiers):
+            @pl.when(t == ti)
+            def _(wh=wh, ww=ww):
+                rc = _rc_lr(wh)
+                u_mat, _, _, _ = _lr_factor_u(d, ox, ww)
+                u16 = u_mat.astype(jnp.bfloat16)
+                sel = _col_selector(ox, ww, width)
 
-        n_chunks = wh // rc
-        if n_chunks <= _UNROLL_MAX:
-            for step in range(n_chunks):
-                one_chunk(step, 0)
-        else:
-            jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
+                def one_chunk(step, _):
+                    y0 = pl.multiple_of(oy + step * rc, 8)
+                    v_mat, _, _, _ = _lr_factor_v(d, y0, rc)
+                    patch = jax.lax.dot_general(
+                        v_mat.astype(jnp.bfloat16), u16,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    rows = _place(patch, sel)
+                    cur = img[pl.ds(y0, rc), :]
+                    img[pl.ds(y0, rc), :] = cur + rows
+                    return 0
+
+                n_chunks = wh // rc
+                if n_chunks <= _UNROLL_MAX:
+                    for step in range(n_chunks):
+                        one_chunk(step, 0)
+                else:
+                    jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
 
     @pl.when(i == nsteps - 1)
     def _():
         out_ref[...] = img[...]
 
 
-def _bwd_kernel_lr(ids_ref, origin_ref, count_ref, data_ref, gimg_ref,
-                   dout_ref, du_scr, *, wh, ww, rc, height, width):
+def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                         gimg_ref, dout_ref, du_scr, *, tiers, height,
+                         width):
     i = pl.program_id(0)
     dout_ref[0] = jnp.zeros((NF, G), jnp.float32)
 
@@ -465,69 +504,131 @@ def _bwd_kernel_lr(ids_ref, origin_ref, count_ref, data_ref, gimg_ref,
         d = data_ref[0]
         mx, my = d[0:1], d[1:2]
         kxs, kys, rho, wp = d[2:3], d[3:4], d[4:5], d[5:6]
-        u_mat, dxs, xh, ex = _lr_factor_u(d, ox, ww)
-        u16 = u_mat.astype(jnp.bfloat16)
-        sel = _col_selector(ox, ww, width)
-        du_scr[...] = jnp.zeros_like(du_scr)
+        t = tsel_ref[i]
 
-        def one_chunk(step, acc):
-            dmy, dky = acc
-            y0 = pl.multiple_of(oy + step * rc, 8)
-            v_mat, dys, yh, ey = _lr_factor_v(d, y0, rc)
-            dpatch = _extract(gimg_ref[pl.ds(y0, rc), :], sel)  # (rc, ww)
-            dp16 = dpatch.astype(jnp.bfloat16)
-            # dU accumulation: dU[x, kg] = sum_y dpatch[y, x] V[y, kg]
-            du_scr[...] = du_scr[...] + jax.lax.dot_general(
-                dp16, v_mat.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dV = dpatch @ U : (rc, K*G); chain to my/ky immediately
-            dv = jax.lax.dot_general(
-                dp16, u16, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dvk = [dv[:, k * G:(k + 1) * G] for k in range(K_LR)]
-            d_yh, _ = _he_series(yh, ey, dvk)
-            dmy = dmy - jnp.sum(d_yh * kys, axis=0, keepdims=True)
-            dky = dky + jnp.sum(d_yh * dys, axis=0, keepdims=True)
-            return dmy, dky
+        for ti, (wh, ww) in enumerate(tiers):
+            @pl.when(t == ti)
+            def _(wh=wh, ww=ww):
+                rc = _rc_lr(wh)
+                u_mat, dxs, xh, ex = _lr_factor_u(d, ox, ww)
+                u16 = u_mat.astype(jnp.bfloat16)
+                sel = _col_selector(ox, ww, width)
+                du_scr[pl.ds(0, ww), :] = jnp.zeros((ww, K_LR * G), jnp.float32)
 
-        zeros = jnp.zeros((1, G), jnp.float32)
-        n_chunks = wh // rc
-        acc = (zeros, zeros)
-        if n_chunks <= _UNROLL_MAX:
-            for step in range(n_chunks):
-                acc = one_chunk(step, acc)
-        else:
-            acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
-        dmy, dky = acc
+                def one_chunk(step, acc):
+                    dmy, dky = acc
+                    y0 = pl.multiple_of(oy + step * rc, 8)
+                    v_mat, dys, yh, ey = _lr_factor_v(d, y0, rc)
+                    dpatch = _extract(gimg_ref[pl.ds(y0, rc), :], sel)
+                    dp16 = dpatch.astype(jnp.bfloat16)
+                    du_scr[pl.ds(0, ww), :] = du_scr[pl.ds(0, ww), :] + \
+                        jax.lax.dot_general(
+                            dp16, v_mat.astype(jnp.bfloat16),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    dv = jax.lax.dot_general(
+                        dp16, u16, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dvk = [dv[:, k * G:(k + 1) * G] for k in range(K_LR)]
+                    d_yh, _ = _he_series(yh, ey, dvk)
+                    dmy = dmy - jnp.sum(d_yh * kys, axis=0, keepdims=True)
+                    dky = dky + jnp.sum(d_yh * dys, axis=0, keepdims=True)
+                    return dmy, dky
 
-        # U-side chain: coefficients c_k = wp rho^k / k!
-        du = du_scr[...]
-        duk = [du[:, k * G:(k + 1) * G] for k in range(K_LR)]
-        # rebuild c_k and r_k = rho^k/k!
-        rks = []
-        rk = jnp.ones((1, G), jnp.float32)
-        for k in range(K_LR):
-            if k > 0:
-                rk = rk * rho * (1.0 / k)
-            rks.append(rk)
-        coeffs = [wp * r for r in rks]
-        d_xh, dc = _he_series(xh, ex, duk, coeffs=coeffs)
-        dmx = -jnp.sum(d_xh * kxs, axis=0, keepdims=True)
-        dkx = jnp.sum(d_xh * dxs, axis=0, keepdims=True)
-        dwp = jnp.zeros((1, G), jnp.float32)
-        drho = jnp.zeros((1, G), jnp.float32)
-        for k in range(K_LR):
-            dwp = dwp + dc[k] * rks[k]
-            if k > 0:
-                # d(rho^k/k!)/drho = rho^{k-1}/(k-1)! = r_{k-1}
-                drho = drho + dc[k] * wp * rks[k - 1]
-        zeros = jnp.zeros((1, G), jnp.float32)
-        dout_ref[0] = jnp.concatenate(
-            [dmx, dmy, dkx, dky, drho, dwp, zeros, zeros, zeros, zeros], axis=0
-        )
+                zeros = jnp.zeros((1, G), jnp.float32)
+                n_chunks = wh // rc
+                acc = (zeros, zeros)
+                if n_chunks <= _UNROLL_MAX:
+                    for step in range(n_chunks):
+                        acc = one_chunk(step, acc)
+                else:
+                    acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
+                dmy, dky = acc
+
+                du = du_scr[pl.ds(0, ww), :]
+                duk = [du[:, k * G:(k + 1) * G] for k in range(K_LR)]
+                rks = []
+                rk = jnp.ones((1, G), jnp.float32)
+                for k in range(K_LR):
+                    if k > 0:
+                        rk = rk * rho * (1.0 / k)
+                    rks.append(rk)
+                coeffs = [wp * r for r in rks]
+                d_xh, dc = _he_series(xh, ex, duk, coeffs=coeffs)
+                dmx = -jnp.sum(d_xh * kxs, axis=0, keepdims=True)
+                dkx = jnp.sum(d_xh * dxs, axis=0, keepdims=True)
+                dwp = jnp.zeros((1, G), jnp.float32)
+                drho = jnp.zeros((1, G), jnp.float32)
+                for k in range(K_LR):
+                    dwp = dwp + dc[k] * rks[k]
+                    if k > 0:
+                        drho = drho + dc[k] * wp * rks[k - 1]
+                dout_ref[0] = jnp.concatenate(
+                    [dmx, dmy, dkx, dky, drho, dwp, zeros, zeros, zeros, zeros],
+                    axis=0,
+                )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _splat_multi_lr(data_ext, ids, origins, tsel, count, height, width, tiers):
+    return _splat_multi_lr_fwd_impl(data_ext, ids, origins, tsel, count,
+                                    height, width, tiers)
+
+
+def _splat_multi_lr_fwd_impl(data_ext, ids, origins, tsel, count, height,
+                             width, tiers):
+    cap = ids.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(cap,),
+        in_specs=_multi_specs(cap, height, width, False),
+        out_specs=pl.BlockSpec((height, width), lambda i, ids, o, t, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_lr_multi, tiers=tiers, height=height,
+                          width=width, nsteps=cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(ids, origins, tsel, count, data_ext)
+
+
+def _splat_multi_lr_fwd(data_ext, ids, origins, tsel, count, height, width,
+                        tiers):
+    img = _splat_multi_lr_fwd_impl(data_ext, ids, origins, tsel, count,
+                                   height, width, tiers)
+    return img, (data_ext, ids, origins, tsel, count)
+
+
+def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
+    data_ext, ids, origins, tsel, count = res
+    cap = ids.shape[0]
+    nbp1 = data_ext.shape[0]
+    max_ww = max(ww for _, ww in tiers)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(cap,),
+        in_specs=_multi_specs(cap, height, width, True),
+        out_specs=_grad_rows_out_spec(NF),
+        scratch_shapes=[pltpu.VMEM((max_ww, K_LR * G), jnp.float32)],
+    )
+    dkdata = pl.pallas_call(
+        functools.partial(_bwd_kernel_lr_multi, tiers=tiers, height=height,
+                          width=width),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbp1, NF, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(ids, origins, tsel, count, data_ext, gimg)
+    return _mask_unvisited_rows(dkdata, ids), None, None, None, None
+
+
+_splat_multi_lr.defvjp(_splat_multi_lr_fwd, _splat_multi_lr_bwd)
 
 
 def _rc_lr(wh: int) -> int:
@@ -537,71 +638,6 @@ def _rc_lr(wh: int) -> int:
     while wh % n or (wh // n) % 8:
         n += 1
     return wh // n
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _splat_tier_lr(data_ext, ids, origins, count, height, width, wh, ww):
-    return _splat_tier_lr_fwd_impl(data_ext, ids, origins, count, height,
-                                   width, wh, ww)
-
-
-def _splat_tier_lr_fwd_impl(data_ext, ids, origins, count, height, width, wh, ww):
-    cap = ids.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (ids[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((height, width), lambda i, ids, o, c: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
-    )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_lr, wh=wh, ww=ww, rc=_rc_lr(wh),
-                          height=height, width=width, nsteps=cap),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=not _on_tpu(),
-    )(ids, origins, count, data_ext)
-
-
-def _splat_tier_lr_fwd(data_ext, ids, origins, count, height, width, wh, ww):
-    img = _splat_tier_lr_fwd_impl(data_ext, ids, origins, count, height,
-                                  width, wh, ww)
-    return img, (data_ext, ids, origins, count)
-
-
-def _splat_tier_lr_bwd(height, width, wh, ww, res, gimg):
-    data_ext, ids, origins, count = res
-    cap = ids.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (ids[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((height, width), lambda i, ids, o, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, NF, G), lambda i, ids, o, c: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((ww, K_LR * G), jnp.float32)],
-    )
-    dstep = pl.pallas_call(
-        functools.partial(_bwd_kernel_lr, wh=wh, ww=ww, rc=_rc_lr(wh),
-                          height=height, width=width),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, NF, G), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=not _on_tpu(),
-    )(ids, origins, count, data_ext, gimg)
-    return _scatter_steps_to_blocks(dstep, ids, data_ext.shape[0]), None, None, None
-
-
-_splat_tier_lr.defvjp(_splat_tier_lr_fwd, _splat_tier_lr_bwd)
 
 
 def _build_features_lr(prep: Preprocessed):
@@ -695,12 +731,15 @@ def _dense_fallback(comps, idx, count, height, width, chunk: int):
     return img
 
 
-def _run_tiers(tier_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
+def _run_tiers(multi_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
                height, width, aux, tag):
     """Assign candidate blocks to the smallest fitting window tier and run
-    one kernel per (occupied) tier. Returns (image-or-None, assigned)."""
+    ONE fused multi-tier kernel over all assigned blocks. Returns
+    (image-or-None, assigned)."""
     nb = kdata.shape[0] - 1
-    img = None
+    nt = len(tiers)
+    tier_of = jnp.full((nb,), nt, jnp.int32)
+    origin = jnp.zeros((nb,), jnp.int32)
     assigned = jnp.zeros_like(candidates)
     for ti, (wh, ww) in enumerate(tiers):
         ox = jnp.clip(bxlo.astype(jnp.int32), 0, width - ww)
@@ -712,19 +751,20 @@ def _run_tiers(tier_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
         )
         mine = fits & ~assigned & candidates
         assigned = assigned | mine
-        ids = jnp.nonzero(mine, size=nb, fill_value=nb)[0].astype(jnp.int32)
-        safe = jnp.minimum(ids, nb - 1)
-        origins = jnp.where(
-            ids < nb, (ox[safe] | (oy[safe] << 16)), 0
-        ).astype(jnp.int32)
-        count = jnp.sum(mine.astype(jnp.int32))[None]
-        tier_img = tier_fn(
-            kdata, ids, jax.lax.stop_gradient(origins),
-            jax.lax.stop_gradient(count), height, width, wh, ww,
-        )
-        img = tier_img if img is None else img + tier_img
+        tier_of = jnp.where(mine, ti, tier_of)
+        origin = jnp.where(mine, ox | (oy << 16), origin)
         if aux is not None:
-            aux[f"{tag}tier{ti}_blocks"] = count[0]
+            aux[f"{tag}tier{ti}_blocks"] = jnp.sum(mine.astype(jnp.int32))
+    ids = jnp.nonzero(assigned, size=nb, fill_value=nb)[0].astype(jnp.int32)
+    safe = jnp.minimum(ids, nb - 1)
+    origins = jnp.where(ids < nb, origin[safe], 0).astype(jnp.int32)
+    tsel = jnp.where(ids < nb, tier_of[safe], 0).astype(jnp.int32)
+    count = jnp.sum(assigned.astype(jnp.int32))[None]
+    img = multi_fn(
+        kdata, ids, jax.lax.stop_gradient(origins),
+        jax.lax.stop_gradient(tsel), jax.lax.stop_gradient(count),
+        height, width, tuple(tiers),
+    )
     return img, assigned
 
 
@@ -758,9 +798,12 @@ def render_pallas(
     tiers = [
         (min(wh, (height // 16) * 16), min(ww, width)) for wh, ww in config.tiers
     ]
-    # terminal full-frame tier: covers any block, making the dense fallback
-    # an empty safety net (requires height % rc == 0 for the row loop)
-    if height % _rc_for(width) == 0:
+    # terminal full-frame tier: covers any block, which PROVES the dense
+    # fallback empty so it is not built at all (a lax.cond's backward
+    # materializes zero cotangents for every differentiable operand each
+    # iteration — measured 8.6 ms per cond at N=512k even when never taken)
+    have_terminal = height % _rc_for(width) == 0
+    if have_terminal:
         tiers.append((height, width))
     # drop now-duplicate tiers after clamping (small images)
     seen, tiers_u = set(), []
@@ -784,17 +827,23 @@ def render_pallas(
     if use_lr:
         comps_lr = _pad_components(_build_features_lr(prep), pad)
         # Per-gaussian routing: visible gaussians beyond RHO_MAX spill into
-        # a small compacted direct-path block set (a whole block would
-        # otherwise take the slow path for one anisotropic member). If the
-        # spill capacity overflows, the excess stays on the low-rank path —
-        # graceful accuracy degradation instead of dropped gaussians.
+        # a compacted direct-path block set (a whole block would otherwise
+        # take the slow path for one anisotropic member). The spill runs
+        # through the lane-compaction kernel so index math stays on the
+        # (nb,) block domain — cumsum/nonzero over N cost ~6.4 ms at
+        # N=512k. Spillers in blocks beyond SPILL_BCAP (or overflowing
+        # SPILL_CAP) stay on the low-rank path — graceful accuracy
+        # degradation instead of dropped gaussians.
+        from .compaction import compact_lanes
+
         spill = (jnp.abs(comps_lr[4]) > RHO_MAX) & (comps_lr[5] > 0.0)
-        in_spill = spill & (jnp.cumsum(spill.astype(jnp.int32)) <= SPILL_CAP)
-        comps_lr[5] = jnp.where(in_spill, 0.0, comps_lr[5])
+        comps_sub, handled = compact_lanes(comps, spill, ocap=SPILL_CAP,
+                                           bcap=SPILL_BCAP)
+        comps_lr[5] = jnp.where(handled, 0.0, comps_lr[5])
         kdata_lr = _kdata_from_components(comps_lr, nb)
         valid_lr, lxlo, lxhi, lylo, lyhi, lhas = _block_bboxes(comps_lr, nb)
         img, assigned_lr = _run_tiers(
-            _splat_tier_lr, kdata_lr, tiers, lhas,
+            _splat_multi_lr, kdata_lr, tiers, lhas,
             lxlo, lxhi, lylo, lyhi, height, width, aux, "lr_",
         )
         # leftovers of the low-rank path fall back via the DIRECT features
@@ -804,15 +853,11 @@ def render_pallas(
              & (comps_lr[5] > 0.0))
         )
 
-        from .compaction import take_unique
-
         nsb = SPILL_CAP // G
-        sidx = jnp.nonzero(in_spill, size=SPILL_CAP, fill_value=npad)[0]
-        comps_sub = [take_unique(c, sidx) for c in comps]
         kdata_sub = _kdata_from_components(comps_sub, nsb)
         v_s, sxlo, sxhi, sylo, syhi, shas = _block_bboxes(comps_sub, nsb)
         img_s, assigned_s = _run_tiers(
-            _splat_tier, kdata_sub, tiers, shas,
+            _splat_multi, kdata_sub, tiers, shas,
             sxlo, sxhi, sylo, syhi, height, width, aux, "spill_",
         )
         img = img + img_s
@@ -825,7 +870,7 @@ def render_pallas(
     else:
         kdata = _kdata_from_components(comps, nb)
         img, assigned = _run_tiers(
-            _splat_tier, kdata, tiers, has_any,
+            _splat_multi, kdata, tiers, has_any,
             bxlo, bxhi, bylo, byhi, height, width, aux, "",
         )
         fb_masks.append(
@@ -833,23 +878,28 @@ def render_pallas(
              & (comps[5] > 0.0))
         )
 
-    # dense fallback for gaussians in blocks beyond all tiers; cond-gated so
-    # well-sorted populations (fallback empty) skip it at runtime entirely.
-    # (With the auto-appended terminal full-frame tier this is an empty
-    # safety net; it only fires for odd image sizes.)
+    # dense fallback for gaussians in blocks beyond all tiers; only built
+    # for odd image sizes with no terminal full-frame tier (see above)
     out = img
     total_fb = jnp.int32(0)
+    if have_terminal:
+        fb_masks = []
     for fcomps, gmask in fb_masks:
         count = jnp.sum(gmask.astype(jnp.int32))
         total_fb = total_fb + count
         if config.dense_cap > 0:
-            idx = jnp.nonzero(gmask, size=config.dense_cap, fill_value=0)[0]
+            # the nonzero over N lives INSIDE the cond branch: it costs ~5 ms
+            # at N=512k on v5e and the branch almost never fires
+            def fb_branch(f, m, c):
+                ix = jnp.nonzero(m, size=config.dense_cap, fill_value=0)[0]
+                return _dense_fallback(f, ix, c, height, width,
+                                       config.dense_chunk)
+
             out = out + jax.lax.cond(
                 count > 0,
-                lambda f, ix, c: _dense_fallback(f, ix, c, height, width,
-                                                 config.dense_chunk),
-                lambda f, ix, c: jnp.zeros((height, width), jnp.float32),
-                fcomps, idx, count,
+                fb_branch,
+                lambda f, m, c: jnp.zeros((height, width), jnp.float32),
+                fcomps, gmask, count,
             )
     if return_aux:
         aux["fallback_count"] = total_fb

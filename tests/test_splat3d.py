@@ -76,6 +76,11 @@ def test_voxelize_gather_path(cap):
     got = voxelize_pallas(prep, n_voxel=n_vox, gather_cap=cap)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
                                atol=2e-6)
+    if n_touch > cap:
+        # overflow is value-exact but intentionally non-differentiable for
+        # the leftover gaussians (see splat3d voxelize_pallas) — skip the
+        # full gradient-parity check
+        return
     gd = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 3))(
         xyz, scales, rots, dens)
     gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3))(
