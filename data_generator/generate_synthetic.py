@@ -77,6 +77,10 @@ def main():
     parser.add_argument("--n_train", type=int, default=50)
     parser.add_argument("--n_test", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--blur", type=float, default=0.0,
+                        help="gaussian blur sigma (voxels) applied to the GT "
+                             "volume; band-limits piecewise-constant phantoms "
+                             "like real (detector/recon-limited) CT data")
     args = parser.parse_args()
 
     with open(args.scanner) as f:
@@ -90,6 +94,10 @@ def main():
     else:
         vol = phantom_mod.gaussian_blobs(args.vol_size)
         name = "blobs"
+    if args.blur > 0:
+        from scipy.ndimage import gaussian_filter
+
+        vol = gaussian_filter(vol, sigma=args.blur).astype(np.float32)
     scanner_cfg["nVoxel"] = [int(v) for v in vol.shape]
     generate(vol, scanner_cfg, args.output, args.n_train, args.n_test, args.seed,
              case_name=f"{name}_{scanner_cfg['mode']}")
