@@ -10,11 +10,12 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import dense_reference
 from .preprocess import cov3d_components, preprocess
-from .voxel_preprocess import voxel_preprocess
+from .voxel_preprocess import voxel_preprocess, voxel_touch_mask
 
 
 def _resolve_backend(backend: str) -> str:
@@ -142,28 +143,105 @@ def query(
     s_voxel,
     active=None,
     backend: str = "auto",
+    gather_cap: int | None = None,
+    gather_bcap: int | None = None,
 ):
     """Voxelize gaussians into an [nx,ny,nz] grid (reference
-    render_query.py:27-77). n_voxel must be static python ints."""
+    render_query.py:27-77). n_voxel must be static python ints.
+
+    Small-box pallas queries (the per-iteration TV loss: a random 32^3
+    sub-volume) take a gather fast path: a cheap box-overlap mask selects
+    candidates, the lane-compaction kernel gathers their RAW components,
+    and only the compacted <= gather_cap gaussians get the expensive conic
+    inverse preprocess + splat. Overflow beyond the gather capacity falls
+    back to the full block-tier path — value-exact but non-differentiable
+    (see the comment below)."""
+    from ..ops import splat3d
+
     cov3d = cov3d_components(scales, rotations)
     max_scale = jnp.max(scales, axis=-1)
-    prep = voxel_preprocess(
-        xyz,
-        cov3d,
-        max_scale,
-        densities,
-        center=center,
-        n_voxel=n_voxel,
-        s_voxel=s_voxel,
+    backend = _resolve_backend(backend)
+    nx, ny, nz = (int(v) for v in n_voxel)
+    n = xyz.shape[0]
+    if gather_cap is None:
+        gather_cap = splat3d.GATHER_CAP
+    if gather_bcap is None:
+        gather_bcap = splat3d.GATHER_BCAP
+    use_gather = backend == "pallas" and nx <= 64 and ny <= 64 and n > gather_cap
+    if not use_gather:
+        prep = voxel_preprocess(
+            xyz, cov3d, max_scale, densities,
+            center=center, n_voxel=n_voxel, s_voxel=s_voxel, active=active,
+        )
+        if backend == "dense":
+            vol = dense_reference.voxelize_dense(prep, n_voxel=n_voxel)
+        elif backend == "pallas":
+            vol = splat3d.voxelize_pallas(prep, n_voxel=n_voxel)
+        else:
+            raise ValueError(f"unknown backend {backend}")
+        return {"vol": vol, "radii": prep.radii}
+
+    from ..ops.compaction import G, compact_lanes
+
+    dens1 = densities.reshape(n)
+    touch = voxel_touch_mask(
+        xyz, max_scale, center=center, n_voxel=n_voxel, s_voxel=s_voxel,
         active=active,
     )
-    backend = _resolve_backend(backend)
-    if backend == "dense":
-        vol = dense_reference.voxelize_dense(prep, n_voxel=n_voxel)
-    elif backend == "pallas":
-        from ..ops import splat3d
-
-        vol = splat3d.voxelize_pallas(prep, n_voxel=n_voxel)
+    comps_raw = [xyz[:, 0], xyz[:, 1], xyz[:, 2], *cov3d, max_scale, dens1]
+    pad = (-n) % G
+    if pad:
+        comps_raw = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+                     for c in comps_raw]
+        touch_p = jnp.concatenate([touch, jnp.zeros((pad,), bool)])
     else:
-        raise ValueError(f"unknown backend {backend}")
-    return {"vol": vol, "radii": prep.radii}
+        touch_p = touch
+    sub, handled = compact_lanes(comps_raw, touch_p, ocap=gather_cap,
+                                 bcap=gather_bcap)
+    xyz_sub = jnp.stack(sub[0:3], axis=-1)
+    cov_sub = tuple(sub[3:9])
+    prep_sub = voxel_preprocess(
+        xyz_sub, cov_sub, sub[9], sub[10],
+        center=center, n_voxel=n_voxel, s_voxel=s_voxel, active=None,
+    )
+    # gathered gaussians are Morton-local -> tight block bboxes -> small
+    # window tiers
+    vol = splat3d.voxelize_pallas(prep_sub, n_voxel=n_voxel, window_x=16,
+                                  window_y=16)
+
+    # The overflow branch is value-exact but non-differentiable
+    # (stop_gradient operands): a lax.cond's backward materializes zero
+    # cotangents for every differentiable operand each iteration even when
+    # never taken (~0.3 ms/MB on v5e). Overflow fires only when more than
+    # gather_cap gaussians touch the random box (early training, giant
+    # radii); each iteration's box samples a different subset, so TV
+    # gradient coverage is stochastic rather than truncated.
+    leftover = jax.lax.stop_gradient(touch_p[:n] & ~handled[:n])
+    sg = jax.lax.stop_gradient
+    operands = (sg(xyz), tuple(sg(c) for c in cov3d), sg(max_scale),
+                sg(dens1), sg(center if hasattr(center, "dtype")
+                              else jnp.asarray(center, jnp.float32)))
+
+    def overflow(ops):
+        xyz_, cov_, ms_, dn_, ctr = ops
+        prep_full = voxel_preprocess(
+            xyz_, cov_, ms_, dn_, center=ctr, n_voxel=n_voxel,
+            s_voxel=s_voxel, active=leftover,
+        )
+        return splat3d.voxelize_pallas(prep_full, n_voxel=n_voxel)
+
+    vol = vol + jax.lax.cond(
+        jnp.any(leftover),
+        overflow,
+        lambda ops: jnp.zeros((nx, ny, nz), jnp.float32),
+        operands,
+    )
+    # per-gaussian integer radii for API parity (diagnostics only; computed
+    # without the det!=0 degeneracy cull the full preprocess applies)
+    s_vox = jnp.asarray(s_voxel, jnp.float32)
+    inv_d = jnp.asarray([nx, ny, nz], jnp.float32) / s_vox
+    radii = jnp.where(
+        touch[:, None],
+        jnp.ceil(3.0 * max_scale[:, None] * inv_d[None, :]), 0.0
+    ).astype(jnp.int32)
+    return {"vol": vol, "radii": radii}

@@ -71,6 +71,60 @@ class VoxelPreprocessed(NamedTuple):
         return jnp.stack([self.cube_max_x, self.cube_max_y, self.cube_max_z], -1)
 
 
+def voxel_touch_mask(
+    xyz: jnp.ndarray,
+    max_scale: jnp.ndarray,
+    *,
+    center,
+    n_voxel,
+    s_voxel,
+    active: jnp.ndarray | None = None,
+):
+    """Cheap conservative box-overlap mask mirroring voxel_preprocess's cull
+    (everything except the det != 0 degeneracy check, which requires the
+    covariance inverse): in_range & (touched blocks > 0) & active. A
+    superset of (weight > 0); used to gather candidates before running the
+    expensive conic-inverse preprocess on the compacted subset only."""
+    import numpy as np
+
+    center = jnp.asarray(center, jnp.float32)
+    s_vox = jnp.asarray(s_voxel, jnp.float32)
+    nvf = tuple(float(v) for v in np.asarray(n_voxel, np.float64))
+    ix = nvf[0] / s_vox[0]
+    iy = nvf[1] / s_vox[1]
+    iz = nvf[2] / s_vox[2]
+    rfx = jnp.ceil(3.0 * max_scale * ix)
+    rfy = jnp.ceil(3.0 * max_scale * iy)
+    rfz = jnp.ceil(3.0 * max_scale * iz)
+    cx = (xyz[:, 0] - center[0] + s_vox[0] / 2) * ix
+    cy = (xyz[:, 1] - center[1] + s_vox[1] / 2) * iy
+    cz = (xyz[:, 2] - center[2] + s_vox[2] / 2) * iz
+    grid = tuple(int(v) for v in (np.asarray(n_voxel) + BLOCK3D - 1) // BLOCK3D)
+    in_range = (
+        (cx + rfx >= 0) & (cx - rfx <= nvf[0])
+        & (cy + rfy >= 0) & (cy - rfy <= nvf[1])
+        & (cz + rfz >= 0) & (cz - rfz <= nvf[2])
+    )
+
+    def cmin(cc, rr, g):
+        return jnp.clip(((cc - rr) / BLOCK3D).astype(jnp.int32), 0, g)
+
+    def cmax(cc, rr, g):
+        return jnp.clip(
+            ((cc + rr + BLOCK3D - 1) / BLOCK3D).astype(jnp.int32), 0, g
+        )
+
+    touched = (
+        (cmax(cx, rfx, grid[0]) - cmin(cx, rfx, grid[0]))
+        * (cmax(cy, rfy, grid[1]) - cmin(cy, rfy, grid[1]))
+        * (cmax(cz, rfz, grid[2]) - cmin(cz, rfz, grid[2]))
+    )
+    mask = in_range & (touched > 0)
+    if active is not None:
+        mask = mask & active
+    return mask
+
+
 def voxel_preprocess(
     xyz: jnp.ndarray,
     cov3d,

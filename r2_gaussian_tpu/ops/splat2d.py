@@ -355,10 +355,13 @@ _splat_multi.defvjp(_splat_multi_fwd, _splat_multi_bwd)
 #                                          [He_k(yh) e^{-yh^2/2}]
 # with xh = dx*sqrt(cxx(1-rho^2)), yh = dy*sqrt(cyy(1-rho^2)),
 # rho = -cxy/sqrt(cxx cyy), He_k the probabilists' Hermite polynomials.
-# Truncating at K terms gives max abs error <= ~1e-4*peak for |rho| <= 0.3
-# at K=6 (validated numerically); blocks containing any gaussian beyond
-# RHO_MAX route to the exact direct kernels. The measured population is
-# nearly isotropic in projection (p99 |rho| ~ 0.26).
+# Truncating at K=6 terms gives max abs error <= 2.4e-4*peak at |rho|=0.3
+# and <= 5.4e-3*peak at |rho|=0.5 (validated numerically) — comparable to
+# the reference's own 3-sigma/alpha-cutoff truncation (~1e-2 of peak at the
+# boundary). Gaussians beyond RHO_MAX spill to the exact direct kernels.
+# The measured population is nearly isotropic in projection
+# (p99 |rho| ~ 0.26, p99.9 ~ 0.46), so the spill is a few hundred
+# gaussians.
 #
 # The payoff on TPU: a block's window patch becomes ONE matmul
 #   patch[y, x] = V[y, (k,g)] @ U[(k,g), x]   (K*G contraction, MXU bf16)
@@ -375,9 +378,9 @@ _splat_multi.defvjp(_splat_multi_fwd, _splat_multi_bwd)
 # reference's own per-pixel cutoff.
 
 K_LR = 6  # Mehler terms
-RHO_MAX = 0.3  # |rho| routing threshold for the low-rank path
-SPILL_CAP = 16384  # direct-path capacity for per-gaussian |rho| spill
-SPILL_BCAP = 2048  # source blocks visited by the spill compaction kernel
+RHO_MAX = 0.5  # |rho| routing threshold for the low-rank path
+SPILL_CAP = 8192  # direct-path capacity for per-gaussian |rho| spill
+SPILL_BCAP = 512  # source blocks visited by the spill compaction kernel
 
 
 def _lr_factor_u(d, ox, ww: int):
@@ -663,7 +666,8 @@ class SplatConfig(NamedTuple):
     # A terminal full-frame tier is appended automatically (when the image
     # height allows), so every block is covered and the dense fallback is an
     # (almost always empty) safety net rather than a hot path.
-    tiers: tuple = ((64, 56), (112, 104), (176, 168), (240, 232), (336, 328))
+    tiers: tuple = ((64, 56), (80, 72), (112, 104), (144, 136), (176, 168),
+                    (240, 232), (336, 328))
     # fallback capacity for gaussians in blocks beyond all tiers (0 disables;
     # the fallback is cond-gated, so it only costs when actually populated)
     dense_cap: int = 4096

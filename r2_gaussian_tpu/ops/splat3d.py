@@ -26,7 +26,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.voxel_preprocess import VoxelPreprocessed
-from .compaction import compact_lanes
 from .splat2d import (
     G,
     _col_selector,
@@ -411,17 +410,12 @@ def voxelize_pallas(
     window_x: int = 32,
     window_y: int = 32,
     candidate_cap: int | None = None,
-    gather_cap: int | None = GATHER_CAP,
 ):
-    """Voxelize into [nx, ny, nz].
-
-    Small-box queries (the per-iteration TV loss: a random 32^3 sub-volume,
-    reference train.py:128-142) take a gather fast path: the gaussians that
-    actually touch the box (weight > 0 after preprocess culling) are
-    compacted into <= gather_cap/G dense blocks, preserving Morton order, so
-    the kernel visits ~n_touching gaussians instead of every block with one
-    touching member. Overflow beyond gather_cap falls back to the full
-    block-tier path (cond-gated: it only executes when triggered).
+    """Voxelize into [nx, ny, nz] via the block-tier path (every block with
+    a box-touching member is visited with a tiered window). Small-box
+    queries should be routed through models/render.query's gather fast
+    path, which compacts the touching gaussians BEFORE preprocessing and
+    calls this on the compacted population.
     candidate_cap=None sizes each tier's grid to the total block count."""
     nx, ny, nz = (int(v) for v in n_voxel)
     n = prep.cx.shape[0]
@@ -429,51 +423,9 @@ def voxelize_pallas(
     comps = _build_features3(prep)
     if pad:
         comps = [jnp.concatenate([c, jnp.zeros((pad,), c.dtype)]) for c in comps]
-    npad = n + pad
-    nb = npad // G
+    nb = (n + pad) // G
     if candidate_cap is None:
         candidate_cap = nb
-
-    use_gather = (
-        gather_cap is not None and gather_cap < npad and nx <= 64 and ny <= 64
-    )
-    if not use_gather:
-        vol = _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
-                                    window_x, window_y)
-        return vol.reshape(nx, ny, nz)
-
-    touching = comps[9] > 0.0
-    comps_sub, handled = compact_lanes(comps, touching, ocap=gather_cap,
-                                       bcap=GATHER_BCAP)
-    nbg = gather_cap // G
-    # gathered blocks are Morton-local -> tight bboxes -> small window tiers
-    vol = _voxelize_block_tiers(comps_sub, nbg, nbg, nx, ny, nz,
-                                min(window_x, 16), min(window_y, 16))
-
-    leftover = touching & ~handled
-
-    # The overflow branch is non-differentiable (stop_gradient operands): a
-    # lax.cond's backward materializes zero cotangents for every
-    # differentiable operand each iteration even when never taken — ~10 ms
-    # for 16 (512k,) comps on v5e. The VALUE stays exact; gradients flow
-    # through the (<= gather_cap) compacted gaussians, and overflow only
-    # happens when more than gather_cap gaussians touch the random box
-    # (early training, giant radii) — each iteration's box samples a
-    # different subset, so TV gradient coverage is stochastic rather than
-    # truncated.
-    comps_sg = [jax.lax.stop_gradient(c) for c in comps]
-    leftover_sg = jax.lax.stop_gradient(leftover)
-
-    def overflow(comps):
-        w_left = jnp.where(leftover_sg, comps[9], 0.0)
-        comps = comps[:9] + [w_left] + comps[10:]
-        return _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
-                                     window_x, window_y)
-
-    vol = vol + jax.lax.cond(
-        jnp.any(leftover_sg),
-        overflow,
-        lambda comps: jnp.zeros((nx, ny * nz), jnp.float32),
-        comps_sg,
-    )
+    vol = _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
+                                window_x, window_y)
     return vol.reshape(nx, ny, nz)

@@ -52,34 +52,35 @@ def test_voxelize_oversized_fallback():
 
 
 @pytest.mark.parametrize("cap", [128, 256])
-def test_voxelize_gather_path(cap):
-    """Small-box gather fast path (with and without overflow into the
-    block-tier fallback) matches the dense oracle, values and grads."""
+def test_query_gather_path(cap):
+    """The query-level gather fast path (cheap touch mask -> raw-component
+    compaction -> preprocess on the subset; with and without overflow into
+    the block-tier fallback) matches the dense oracle, values and grads."""
+    from r2_gaussian_tpu.models.render import query
+
     xyz, scales, rots, dens = random_gaussians(900, seed=7)
     n_vox = (32, 32, 32)
     s_vox = (1.2, 1.2, 1.2)
     center = (0.05, 0.1, -0.15)
+    kw = dict(center=center, n_voxel=n_vox, s_voxel=jnp.asarray(s_vox))
 
     def loss(backend, xyz, scales, rots, dens):
-        prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
-        if backend == "dense":
-            vol = voxelize_dense(prep, n_voxel=n_vox)
-        else:
-            vol = voxelize_pallas(prep, n_voxel=n_vox, gather_cap=cap)
+        vol = query(xyz, scales, rots, dens, backend=backend,
+                    gather_cap=cap, gather_bcap=8, **kw)["vol"]
         return jnp.mean(vol * vol)
 
     prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
     n_touch = int(np.asarray((prep.weight > 0).sum()))
     if cap == 128:
         assert n_touch > cap  # overflow branch exercised
-    ref = voxelize_dense(prep, n_voxel=n_vox)
-    got = voxelize_pallas(prep, n_voxel=n_vox, gather_cap=cap)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
-                               atol=2e-6)
+    ref = np.asarray(query(xyz, scales, rots, dens, backend="dense", **kw)["vol"])
+    got = np.asarray(query(xyz, scales, rots, dens, backend="pallas",
+                           gather_cap=cap, gather_bcap=8, **kw)["vol"])
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
     if n_touch > cap:
         # overflow is value-exact but intentionally non-differentiable for
-        # the leftover gaussians (see splat3d voxelize_pallas) — skip the
-        # full gradient-parity check
+        # the leftover gaussians (see models/render.query) — skip the full
+        # gradient-parity check
         return
     gd = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 3))(
         xyz, scales, rots, dens)
