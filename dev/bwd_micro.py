@@ -19,7 +19,7 @@ from r2_gaussian_tpu.models.preprocess import cov3d_components, preprocess
 from r2_gaussian_tpu.ops import splat2d
 
 ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
-d = np.load(osp.join(ROOT, ".bench_data", "sl_256_512_25_50000.npz"),
+d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
             allow_pickle=True)
 scanner = d["scanner"].item()
 projs, angles = d["projs"], d["angles"]

@@ -18,7 +18,7 @@ from r2_gaussian_tpu.models.gaussians import GaussianParams, activate
 from r2_gaussian_tpu.models.render import render
 
 ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
-d = np.load(osp.join(ROOT, ".bench_data", "sl_256_512_25_50000.npz"),
+d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
             allow_pickle=True)
 scanner, projs, angles = d["scanner"].item(), d["projs"], d["angles"]
 cams = build_cameras(angles, projs, [str(i) for i in range(len(angles))],

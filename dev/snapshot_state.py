@@ -1,5 +1,5 @@
 """Train the bench case to a given iteration and snapshot the state to
-.bench_data/state_<iter>.npz for kernel experiments."""
+.bench_data/state_slb_<iter>.npz for kernel experiments."""
 import os.path as osp
 import sys
 import types
@@ -18,7 +18,7 @@ from r2_gaussian_tpu.pipeline.trainer import Trainer
 TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 1100
 ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
 
-d = np.load(osp.join(ROOT, ".bench_data", "sl_256_512_25_50000.npz"),
+d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
             allow_pickle=True)
 vol, angles, projs, scanner, pts = (d["vol"], d["angles"], d["projs"],
                                     d["scanner"].item(), d["pts"])
@@ -45,7 +45,7 @@ while tr.iteration < TARGET:
     print(tr.iteration, "loss", float(m[-1, 0]), "n", n, flush=True)
 p, a = tr.state.params, tr.state.aux
 np.savez_compressed(
-    osp.join(ROOT, ".bench_data", f"state_{TARGET}.npz"),
+    osp.join(ROOT, ".bench_data", f"state_slb_{TARGET}.npz"),
     xyz=np.asarray(p.xyz), scaling=np.asarray(p.scaling),
     rotation=np.asarray(p.rotation), density=np.asarray(p.density),
     active=np.asarray(a.active), scale_bound=np.asarray(sb),

@@ -20,7 +20,7 @@ from r2_gaussian_tpu.ops import splat3d
 ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
 STATE = sys.argv[1] if len(sys.argv) > 1 else "state_1100.npz"
 
-d = np.load(osp.join(ROOT, ".bench_data", "sl_256_512_25_50000.npz"),
+d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
             allow_pickle=True)
 scanner = d["scanner"].item()
 s = np.load(osp.join(ROOT, ".bench_data", STATE))

@@ -15,46 +15,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dataset.geometry import angle2pose
-from .fdk import fdk
-from .projector import _project_one
+from .fdk import backproject, fdk
 
 
 def _make_ops(scanner_cfg, angles, n_voxel):
-    """Return (A, At) closures mapping vol [nx,ny,nz] <-> projs [V,H,W]."""
-    mode = 0 if scanner_cfg["mode"] == "parallel" else 1
-    height, width = (int(v) for v in scanner_cfg["nDetector"])
-    dsd = float(scanner_cfg["DSD"])
-    s_det = scanner_cfg["sDetector"]
-    tanfovx = float(s_det[1] / 2 / dsd) if mode else 1.0
-    tanfovy = float(s_det[0] / 2 / dsd) if mode else 1.0
-    n_vox = np.asarray(n_voxel)
-    d_min = float(np.min(np.asarray(scanner_cfg["sVoxel"]) / n_vox))
-    accuracy = float(scanner_cfg.get("accuracy", 0.5))
-    max_path = float(np.linalg.norm(scanner_cfg["sVoxel"]))
-    n_samples = int(np.ceil(max_path / (accuracy * d_min)))
-    c2ws = jnp.asarray(
-        np.stack([angle2pose(scanner_cfg["DSO"], float(a)) for a in angles]),
-        jnp.float32,
-    )
-    off = jnp.asarray(scanner_cfg["offOrigin"], jnp.float32)
-    s_vox = jnp.asarray(scanner_cfg["sVoxel"], jnp.float32)
+    """Return (A, At) closures mapping vol [nx,ny,nz] <-> projs [V,H,W].
 
-    def project_all(vol):
-        def one(c2w):
-            return _project_one(
-                vol, c2w, width=width, height=height, mode=mode,
-                tanfovx=tanfovx, tanfovy=tanfovy, dsd=dsd,
-                off_origin=off, s_voxel=s_vox, n_samples=n_samples,
-            )
-        return jax.lax.map(one, c2ws)
+    A is the separable fast projector (ops/projector.project — the same
+    operator that generates the data), host-orchestrated with internal
+    syncs; At is the voxel-driven backprojector (TIGRE Atb equivalent;
+    like TIGRE, an unmatched adjoint pair, which SART-style methods
+    tolerate by construction). The one-dispatch lax.map ray-marcher A and
+    the autodiff adjoint both kill the TPU worker at 25x512^2x256^3 scale
+    (>60 s dispatch / ~65 GB of stacked gather residuals respectively).
+    """
+    from .projector import project
 
-    a_fn = jax.jit(project_all)
+    def a_fn(vol):
+        return jnp.asarray(project(vol, angles, scanner_cfg))
 
-    @jax.jit
     def at_fn(projs):
-        _, vjp = jax.vjp(project_all, jnp.zeros(tuple(n_voxel), jnp.float32))
-        return vjp(projs)[0]
+        return backproject(projs, angles, scanner_cfg, n_voxel)
 
     return a_fn, at_fn
 
@@ -69,10 +50,12 @@ def sart(projs, angles, scanner_cfg, n_iter: int = 20, lmbda: float = 1.0,
     ones_vol = jnp.ones(n_voxel, jnp.float32)
     row_norm = a_fn(ones_vol)  # A 1
     col_norm = at_fn(jnp.ones_like(projs))  # A^T 1
-    inv_row = jnp.where(row_norm > 1e-6, 1.0 / row_norm, 0.0)
-    inv_col = jnp.where(col_norm > 1e-6, 1.0 / col_norm, 0.0)
+    # relative guards: rays that barely graze the volume have tiny A(1),
+    # and 1/A(1) amplifies measurement noise by orders of magnitude (an
+    # absolute 1e-6 guard diverged at 32^3 scale)
+    inv_row = jnp.where(row_norm > 1e-3 * row_norm.max(), 1.0 / row_norm, 0.0)
+    inv_col = jnp.where(col_norm > 1e-3 * col_norm.max(), 1.0 / col_norm, 0.0)
 
-    @jax.jit
     def step(vol, lam):
         resid = (projs - a_fn(vol)) * inv_row
         upd = at_fn(resid) * inv_col
@@ -83,6 +66,9 @@ def sart(projs, angles, scanner_cfg, n_iter: int = 20, lmbda: float = 1.0,
     lam = lmbda
     for _ in range(n_iter):
         vol = step(vol, lam)
+        # real host sync each iteration: queueing several multi-second
+        # dispatches makes the TPU runtime declare the worker dead
+        _ = float(vol.ravel()[0])
         lam = lam * lmbda_red
     return vol
 
@@ -105,7 +91,8 @@ def cgls(projs, angles, scanner_cfg, n_iter: int = 60, n_voxel=None):
         r = r - alpha * q
         s = at_fn(r)
         gamma_new = jnp.sum(s * s)
-        beta = gamma_new / jnp.maximum(gamma, 1e-30)
+        # real host sync each iteration (see sart)
+        beta = float(gamma_new) / max(float(gamma), 1e-30)
         gamma = gamma_new
         p = s + beta * p
     return x

@@ -50,7 +50,8 @@ def _filter_rows(projs, du: float) -> jnp.ndarray:
     return jnp.asarray(q[..., w - 1 : 2 * w - 1] * du, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "n_voxel", "z_chunk"))
+@functools.partial(jax.jit, static_argnames=("mode", "n_voxel", "z_chunk",
+                                              "fdk_weight"))
 def _backproject(
     filtered,  # [V, H, W]
     c2ws,  # [V, 4, 4]
@@ -64,6 +65,7 @@ def _backproject(
     tanfovy: float,
     d_theta: float,
     z_chunk: int = 16,
+    fdk_weight: bool = True,
 ):
     nx, ny, nz = n_voxel
     nv, height, width = filtered.shape
@@ -92,7 +94,7 @@ def _backproject(
             else:
                 ndc_x = xv / zv / tanfovx
                 ndc_y = yv / zv / tanfovy
-                weight = (dso / zv) ** 2
+                weight = (dso / zv) ** 2 if fdk_weight else 1.0
             # pix = ((ndc+1)*S-1)/2
             fx = ((ndc_x + 1.0) * width - 1.0) * 0.5
             fy = ((ndc_y + 1.0) * height - 1.0) * 0.5
@@ -104,7 +106,7 @@ def _backproject(
         acc, _ = jax.lax.scan(
             per_view, jnp.zeros((nx, ny, z_chunk), jnp.float32), (filtered, w2cs)
         )
-        return acc * (d_theta / 2.0)
+        return acc * (d_theta / 2.0) if fdk_weight else acc
 
     slabs = [one_slab(z0) for z0 in range(0, nz, z_chunk)]
     return jnp.concatenate(slabs, axis=2)
@@ -159,4 +161,39 @@ def fdk(projs, angles, scanner_cfg, n_voxel=None):
         tanfovx=tanfovx,
         tanfovy=tanfovy,
         d_theta=d_theta,
+    )
+
+
+def backproject(projs, angles, scanner_cfg, n_voxel=None):
+    """Plain (unfiltered, unweighted) voxel-driven backprojection — the
+    A^T operator for iterative methods (TIGRE's Atb equivalent; like TIGRE,
+    the pair (ray-driven A, voxel-driven A^T) is an unmatched adjoint,
+    which SART/CGLS-style methods tolerate by construction). The autodiff
+    adjoint of the ray projector is exact but stacks per-sample gather
+    residuals (~65 GB at 25x512^2x887 samples) — unusable at full scale."""
+    mode = 0 if scanner_cfg["mode"] == "parallel" else 1
+    n_voxel = tuple(int(v) for v in (n_voxel or scanner_cfg["nVoxel"]))
+    dso = float(scanner_cfg["DSO"])
+    dsd = float(scanner_cfg["DSD"])
+    s_det = np.asarray(scanner_cfg["sDetector"], np.float64)
+    if mode == 1:
+        tanfovx = float(s_det[1] / 2 / dsd)
+        tanfovy = float(s_det[0] / 2 / dsd)
+    else:
+        tanfovx = tanfovy = 1.0
+    c2ws = jnp.asarray(
+        np.stack([angle2pose(dso, float(a)) for a in angles]), jnp.float32
+    )
+    return _backproject(
+        jnp.asarray(projs, jnp.float32),
+        c2ws,
+        mode=mode,
+        n_voxel=n_voxel,
+        s_voxel=np.asarray(scanner_cfg["sVoxel"], np.float32),
+        off_origin=np.asarray(scanner_cfg["offOrigin"], np.float32),
+        dso=dso,
+        tanfovx=tanfovx,
+        tanfovy=tanfovy,
+        d_theta=1.0,
+        fdk_weight=False,
     )
