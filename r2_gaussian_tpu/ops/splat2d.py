@@ -63,7 +63,8 @@ def _col_selector(ox, ww: int, width: int):
 
 
 def _place(patch, sel):
-    """(RC, ww) @ (ww, width) at full f32 precision (sel is 0/1)."""
+    """(RC, ww) @ (ww, width) at full f32 precision (sel is 0/1; Mosaic
+    only lowers DEFAULT and HIGHEST dot precisions)."""
     return jax.lax.dot(patch, sel, precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
 
