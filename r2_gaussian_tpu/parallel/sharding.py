@@ -25,6 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "g") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh: need {n} devices but only {len(devs)} visible "
+            f"(platform={devs[0].platform}). For CPU-mesh testing set "
+            f"JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n} before JAX initializes."
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 
