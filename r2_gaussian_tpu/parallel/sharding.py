@@ -42,6 +42,64 @@ def shard_gaussians(tree, mesh: Mesh, axis: str = "g"):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def psum_grad_exact(x, axis: str):
+    """`lax.psum` with an explicitly-correct transpose for use under
+    `shard_map(check_vma=False)`.
+
+    With vma checking off, JAX transposes psum to psum, so a replicated
+    cotangent gets multiplied by the mesh size (measured: Adam moments off
+    by exactly n_devices). The true linearization of a sum over shards is
+    identity per shard — the loss cotangent is already replicated after the
+    forward psum, and each shard's partial image contributes with unit
+    weight."""
+
+    @jax.custom_vjp
+    def f(x):
+        return jax.lax.psum(x, axis)
+
+    def fwd(x):
+        return jax.lax.psum(x, axis), None
+
+    def bwd(_, ct):
+        return (ct,)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def train_state_specs(axis: str = "g"):
+    """PartitionSpec pytree matching pipeline.trainer.TrainState: every
+    per-gaussian leaf sharded on its leading (capacity) axis, the Adam step
+    counter replicated."""
+    from ..models.gaussians import GaussianAux, GaussianParams
+    from ..pipeline.optim import AdamState
+    from ..pipeline.trainer import TrainState
+
+    g = P(axis)
+    gp = GaussianParams(xyz=g, scaling=g, rotation=g, density=g)
+    return TrainState(
+        params=gp,
+        adam=AdamState(m=gp, v=gp, step=P()),
+        aux=GaussianAux(active=g, max_radii2d=g, xyz_gradient_accum=g, denom=g),
+    )
+
+
+def shard_train_state(state, mesh: Mesh, axis: str = "g"):
+    """Place a TrainState on the mesh with gaussian-axis sharding."""
+    specs = train_state_specs(axis)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), state, specs
+    )
+
+
+def replicate_train_state(state, mesh: Mesh):
+    """All-gather a sharded TrainState to fully-replicated placement (used at
+    densification events, where the global budget cumsum and compaction sort
+    need every gaussian; events are rare — every densification_interval)."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, rep), state)
+
+
 def sharded_render_fn(render_one_shard, mesh: Mesh, axis: str = "g"):
     """Wrap a per-shard render closure (params_shard, active_shard) -> image
     into a shard_mapped all-device render with a psum over partial images."""

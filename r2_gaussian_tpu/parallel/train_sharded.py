@@ -1,129 +1,39 @@
-"""Sharded training step: data-parallel over gaussians (the model's natural
-"tensor parallel" axis), exact w.r.t. the single-chip step.
+"""Multi-chip training: the REAL trainer under gaussian-axis sharding.
 
-Each device renders a partial image from its gaussian shard; `psum` over ICI
-yields the full projection; the loss is computed replicated; autodiff flows
-the replicated image cotangent back into each shard's gaussians. Adam state
-and densification stats live shard-local. TV loss shards the same way
-(partial sub-volumes psum'd).
+The reference is strictly single-GPU (SURVEY.md §2.1: no distributed
+anything). The natural TPU scale-out exploits the order-independence of
+X-ray accumulation: shard the gaussian SoA arrays over a mesh axis, let each
+device render a partial image / TV sub-volume from its shard, and `psum`
+over ICI — exact, because the render is a pure sum over gaussians.
+
+This module does NOT re-implement the train step. `pipeline.trainer.Trainer`
+takes a `mesh` argument and runs its own jitted K-step body (Pallas or dense
+backend, shared Adam via pipeline.optim, densification stats, skip flags)
+under `jax.shard_map`; densification events all-gather, run the global
+jitted event, and re-shard contiguous row ranges. Single-chip and sharded
+trajectories are therefore identical up to f32 summation order
+(tests/test_multichip.py asserts full-step equivalence across a densify
+event).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
+import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
-
-from ..models.gaussians import GaussianParams, activate
-from ..models.render import query, render
-from ..utils.losses import l1_loss, ssim, tv_3d_loss
 from .sharding import make_mesh
 
 
-def make_sharded_train_step(
-    *,
-    mesh,
-    cameras,
-    scanner_cfg,
-    opt_cfg,
-    scale_bound,
-    backend: str = "dense",
-    axis: str = "g",
-):
-    """Build a shard_mapped single-iteration train step.
-
-    Returns step(params, adam_m, adam_v, active, view_idx, key, iteration)
-    -> (params', adam_m', adam_v', metrics) with gaussian-axis sharding on
-    params/adam/active.
-    """
-    import numpy as np
-
-    from ..pipeline.optim import BETA1, BETA2, EPS, group_lrs
-
-    width, height = cameras.width, cameras.height
-    tanfovx, tanfovy, mode = cameras.tanfovx, cameras.tanfovy, cameras.mode
-    lambda_dssim = float(opt_cfg.lambda_dssim)
-    lambda_tv = float(opt_cfg.lambda_tv)
-    tv_n = int(opt_cfg.tv_vol_size)
-    d_voxel = np.asarray(scanner_cfg["dVoxel"], np.float32)
-    tv_s_voxel = jnp.asarray(d_voxel * tv_n)
-    off = np.asarray(scanner_cfg["offOrigin"], np.float32)
-    s_vox = np.asarray(scanner_cfg["sVoxel"], np.float32)
-    bbox_lo = jnp.asarray(off - s_vox / 2)
-    bbox_hi = jnp.asarray(off + s_vox / 2)
-    sb = None if scale_bound is None else tuple(float(x) for x in scale_bound)
-
-    w2c_all = jnp.asarray(cameras.w2c)
-    proj_all = jnp.asarray(cameras.full_proj)
-    images_all = jnp.asarray(cameras.images)
-
-    def loss_fn(params_shard, active_shard, view_idx, key_tv):
-        xyz, scales, rots, dens = activate(params_shard, sb)
-        img = render(
-            xyz, scales, rots, dens,
-            w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
-            width=width, height=height, tanfovx=tanfovx, tanfovy=tanfovy,
-            mode=mode, active=active_shard, backend=backend,
-        )["render"]
-        img = jax.lax.psum(img, axis)  # exact: order-independent sum
-        gt = images_all[view_idx]
-        total = l1_loss(img, gt)
-        if lambda_dssim > 0:
-            total = total + lambda_dssim * (1.0 - ssim(img, gt))
-        if lambda_tv > 0:
-            u = jax.random.uniform(key_tv, (3,))
-            center = (bbox_lo + tv_s_voxel / 2) + (bbox_hi - tv_s_voxel - bbox_lo) * u
-            vol = query(
-                xyz, scales, rots, dens,
-                center=center, n_voxel=(tv_n, tv_n, tv_n), s_voxel=tv_s_voxel,
-                active=active_shard, backend=backend,
-            )["vol"]
-            vol = jax.lax.psum(vol, axis)
-            total = total + lambda_tv * tv_3d_loss(vol, reduction="mean")
-        return total
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P()),
-        check_vma=False,
-    )
-    def step(params, m, v, active, view_idx, key, iteration):
-        total, grads = jax.value_and_grad(loss_fn)(params, active, view_idx, key)
-        lrs = group_lrs(opt_cfg, iteration)
-        bc1 = 1.0 - BETA1 ** (iteration.astype(jnp.float32))
-        bc2 = 1.0 - BETA2 ** (iteration.astype(jnp.float32))
-
-        def upd(p, g, m_, v_, lr):
-            m2 = BETA1 * m_ + (1 - BETA1) * g
-            v2 = BETA2 * v_ + (1 - BETA2) * g * g
-            return p - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + EPS), m2, v2
-
-        out = jax.tree.map(upd, params, grads, m, v, lrs)
-        new_p = GaussianParams(*(t[0] for t in out))
-        new_m = GaussianParams(*(t[1] for t in out))
-        new_v = GaussianParams(*(t[2] for t in out))
-        return new_p, new_m, new_v, total
-
-    return step
-
-
-def dryrun(n_devices: int, n_per_device: int = 256, det: int = 64):
-    """Build an n-device mesh, jit the sharded training step with real
-    gaussian-axis shardings, and execute ONE step on tiny shapes."""
+def tiny_problem(n_gauss: int, det: int = 32, n_views: int = 4, seed: int = 0):
+    """A small synthetic scene + gaussian init for dryruns and tests."""
     import types
 
-    import numpy as np
+    import jax.numpy as jnp
 
     from ..dataset.geometry import build_cameras
     from ..models.gaussians import create_from_pcd
-    from .sharding import shard_gaussians
+    from ..ops.dense_reference import render_dense
+    from ..models.preprocess import cov3d_components, preprocess
 
-    mesh = make_mesh(n_devices)
     scanner = {
         "mode": "cone", "DSD": 7.0, "DSO": 5.0,
         "nDetector": [det, det], "sDetector": [4.0, 4.0],
@@ -131,40 +41,80 @@ def dryrun(n_devices: int, n_per_device: int = 256, det: int = 64):
         "dVoxel": [2.0 / 32] * 3,
         "offOrigin": [0.0, 0.0, 0.0], "offDetector": [0.0, 0.0],
     }
-    angles = np.linspace(0, 2 * np.pi, 5)[:-1]
-    images = np.abs(np.random.default_rng(0).standard_normal(
-        (4, det, det))).astype(np.float32)
-    cams = build_cameras(angles, images, [str(i) for i in range(4)], scanner)
+    rng = np.random.default_rng(seed)
+    gt_xyz = rng.uniform(-0.5, 0.5, (n_gauss, 3)).astype(np.float32)
+    gt_dens = rng.uniform(0.2, 0.8, n_gauss).astype(np.float32)
 
-    n = n_devices * n_per_device
-    rng = np.random.default_rng(1)
-    xyz = rng.uniform(-0.7, 0.7, (n, 3)).astype(np.float32)
-    dens = rng.uniform(0.1, 0.5, n).astype(np.float32)
-    scale_bound = (0.001, 1.0)
-    params, aux = create_from_pcd(xyz, dens, scale_bound, capacity=n)
+    angles = np.linspace(0, 2 * np.pi, n_views + 1)[:-1]
+    # Render self-consistent "measurements" from a perturbed copy so the
+    # first training steps have meaningful gradients.
+    cams0 = build_cameras(
+        angles, np.zeros((n_views, det, det), np.float32),
+        [str(i) for i in range(n_views)], scanner,
+    )
+    scale_bound = (0.005, 0.5)
+    params, aux = create_from_pcd(gt_xyz, gt_dens, scale_bound, capacity=n_gauss)
+    from ..models.gaussians import activate
+
+    xyz, scales, rots, dens = activate(params, scale_bound)
+    # Render measurements from a perturbed copy, NOT the init itself:
+    # otherwise the training residual is pure f32 rounding noise and
+    # equivalence tests would be comparing summation-order artifacts.
+    dens = dens * jnp.asarray(
+        rng.uniform(0.7, 1.4, dens.shape[0]).astype(np.float32)
+    )
+    xyz = xyz + jnp.asarray(
+        rng.normal(0.0, 0.01, (dens.shape[0], 3)).astype(np.float32)
+    )
+    imgs = []
+    for i in range(n_views):
+        cov3d = cov3d_components(scales, rots)
+        prep = preprocess(
+            xyz, cov3d, dens, jnp.asarray(cams0.w2c[i]),
+            jnp.asarray(cams0.full_proj[i]), width=det, height=det,
+            tanfovx=cams0.tanfovx, tanfovy=cams0.tanfovy, mode=cams0.mode,
+            active=aux.active,
+        )
+        imgs.append(np.asarray(render_dense(prep, width=det, height=det)))
+    cams = build_cameras(
+        angles, np.stack(imgs), [str(i) for i in range(n_views)], scanner
+    )
 
     opt = types.SimpleNamespace(
+        iterations=10_000,
         position_lr_init=2e-4, position_lr_final=2e-5, position_lr_max_steps=100,
         density_lr_init=1e-2, density_lr_final=1e-3, density_lr_max_steps=100,
         scaling_lr_init=5e-3, scaling_lr_final=5e-4, scaling_lr_max_steps=100,
         rotation_lr_init=1e-3, rotation_lr_final=1e-4, rotation_lr_max_steps=100,
         lambda_dssim=0.25, lambda_tv=0.05, tv_vol_size=8,
+        densify_from_iter=2, densification_interval=4, densify_until_iter=100,
+        densify_grad_threshold=1e-7, densify_scale_threshold=0.1,
+        density_min_threshold=1e-5, max_screen_size=None, max_scale=None,
+        max_num_gaussians=500_000,
     )
-    step = make_sharded_train_step(
-        mesh=mesh, cameras=cams, scanner_cfg=scanner, opt_cfg=opt,
-        scale_bound=scale_bound, backend="dense",
-    )
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    params = shard_gaussians(params, mesh)
-    m = shard_gaussians(zeros, mesh)
-    v = shard_gaussians(jax.tree.map(jnp.zeros_like, params), mesh)
-    active = shard_gaussians(aux.active, mesh)
+    return cams, scanner, opt, scale_bound, params, aux
 
-    p2, m2, v2, loss = jax.jit(step)(
-        params, m, v, active, jnp.int32(0), jax.random.PRNGKey(0), jnp.int32(1)
+
+def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32) -> float:
+    """Build an n-device mesh and run the FULL sharded training step — the
+    production Trainer's jitted shard_map body (render + TV-query psum,
+    densification stats, skip flags, shared Adam) — for one dispatch chunk
+    that crosses a densification event, on tiny shapes."""
+    from ..pipeline.trainer import Trainer
+
+    mesh = make_mesh(n_devices)
+    # capacity must be divisible by n_devices*128 (block-aligned shards)
+    n = max(n_devices * n_per_device, n_devices * 128)
+    cams, scanner, opt, scale_bound, params, aux = tiny_problem(n, det=det)
+    trainer = Trainer(
+        cams, scanner, opt, scale_bound, params, aux,
+        backend="dense", mesh=mesh,
     )
-    jax.block_until_ready(p2)
-    assert jnp.isfinite(loss), loss
-    moved = float(jnp.abs(p2.xyz - params.xyz).max())
-    assert moved > 0, "sharded step did not update parameters"
-    return float(loss)
+    # 8 iterations: crosses the iter-4 densify boundary -> exercises the
+    # sharded step, the replicate->densify->reshard path, and a second
+    # sharded dispatch after the event.
+    metrics, n_active = trainer.run_chunk(8)
+    loss = float(metrics[-1, 0])
+    assert np.isfinite(loss), loss
+    assert n_active is not None and n_active > 0, n_active
+    return loss

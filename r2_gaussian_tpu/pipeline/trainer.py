@@ -47,8 +47,17 @@ def make_train_fn(
     steps_per_call: int,
     footprint: str = "tile",
     kernel: str = "auto",
+    mesh=None,
+    shard_axis: str = "g",
 ):
-    """Build the jitted K-step training function for fixed-capacity state."""
+    """Build the jitted K-step training function for fixed-capacity state.
+
+    With `mesh`, the identical step body runs under shard_map with the
+    gaussian axis sharded over the mesh: each device renders/voxelizes its
+    shard and the partial image / TV sub-volume are psum'd over ICI — exact,
+    because X-ray accumulation is an order-independent sum (SURVEY.md §2.1).
+    Adam moments and densification stats stay shard-local; loss scalars and
+    the Adam step counter are replicated."""
     width, height = cameras.width, cameras.height
     tanfovx, tanfovy, mode = cameras.tanfovx, cameras.tanfovy, cameras.mode
     lambda_dssim = float(opt_cfg.lambda_dssim)
@@ -66,6 +75,8 @@ def make_train_fn(
     w2c_all = jnp.asarray(cameras.w2c)
     proj_all = jnp.asarray(cameras.full_proj)
     images_all = jnp.asarray(cameras.images)
+    if mesh is not None:
+        from ..parallel.sharding import psum_grad_exact
 
     def loss_fn(params, d2, active, view_idx, key_tv):
         xyz, scales, rots, dens = activate(params, sb)
@@ -77,6 +88,8 @@ def make_train_fn(
             footprint=footprint, kernel=kernel,
         )
         img = out["render"]
+        if mesh is not None:
+            img = psum_grad_exact(img, shard_axis)
         gt = images_all[view_idx]
         l1 = l1_loss(img, gt)
         total = l1
@@ -93,14 +106,15 @@ def make_train_fn(
                 center=center, n_voxel=(tv_n, tv_n, tv_n), s_voxel=tv_s_voxel,
                 active=active, backend=backend,
             )["vol"]
+            if mesh is not None:
+                vol = psum_grad_exact(vol, shard_axis)
             tv = tv_3d_loss(vol, reduction="mean")
             total = total + lambda_tv * tv
         return total, (out["radii"], l1, dssim, tv)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_steps(state: TrainState, view_indices, keys, skip_update, iter0):
+    def train_steps_body(state: TrainState, view_indices, keys, skip_update, iter0):
         """Run K = steps_per_call iterations. view_indices [K] int32,
         keys [K] PRNG keys, skip_update [K] bool, iter0 scalar (iterations
         are 1-indexed: step k is iteration iter0 + k + 1)."""
@@ -137,16 +151,38 @@ def make_train_fn(
             new_adam = jax.tree.map(
                 lambda a, b: jnp.where(skip, a, b), state.adam, new_adam
             )
-            metrics = metrics.at[k].set(
-                jnp.stack([total, l1, dssim, tv, jnp.sum(visible).astype(jnp.float32)])
-            )
+            n_vis = jnp.sum(visible).astype(jnp.float32)
+            if mesh is not None:
+                n_vis = jax.lax.psum(n_vis, shard_axis)
+            metrics = metrics.at[k].set(jnp.stack([total, l1, dssim, tv, n_vis]))
             return TrainState(new_p, new_adam, aux), metrics
 
         metrics0 = jnp.zeros((steps_per_call, 5), jnp.float32)
         state, metrics = jax.lax.fori_loop(0, steps_per_call, body, (state, metrics0))
         return state, metrics
 
-    return train_steps
+    if mesh is None:
+        return jax.jit(train_steps_body, donate_argnums=(0,))
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import train_state_specs  # noqa: F811
+
+    specs = train_state_specs(shard_axis)
+    # check_vma=False: the Pallas kernels cannot thread varying-manual-axis
+    # metadata through their out_shapes in interpret mode (CPU tests), and
+    # the kernel bodies mix varying refs with literals. Gradient correctness
+    # through the psum is covered by tests/test_multichip.py's full-step
+    # sharded-vs-single equivalence (moments compared at f32 tolerance — a
+    # mis-transposed psum would be off by a factor of n_devices).
+    sharded = jax.shard_map(
+        train_steps_body,
+        mesh=mesh,
+        in_specs=(specs, P(), P(), P(), P()),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 class Trainer:
@@ -155,7 +191,7 @@ class Trainer:
 
     def __init__(self, cameras, scanner_cfg, opt_cfg, scale_bound, params, aux,
                  backend: str = "auto", seed: int = 0, footprint: str = "tight",
-                 kernel: str = "auto"):
+                 kernel: str = "auto", mesh=None, shard_axis: str = "g"):
         self.cameras = cameras
         self.scanner_cfg = scanner_cfg
         self.opt = opt_cfg
@@ -165,7 +201,22 @@ class Trainer:
         self.backend = backend
         self.footprint = footprint
         self.kernel = kernel
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.state = TrainState(params=params, adam=init_adam(params), aux=aux)
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            cap = params.capacity
+            # Contiguous row-range shards must align with the splat kernels'
+            # 128-gaussian blocks so per-shard block windows match the
+            # single-chip decomposition exactly.
+            if cap % (n_dev * 128) != 0:
+                raise ValueError(
+                    f"capacity {cap} not divisible by n_devices*128 = {n_dev * 128}"
+                )
+            from ..parallel.sharding import shard_train_state
+
+            self.state = shard_train_state(self.state, mesh, shard_axis)
         self.iteration = 0
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -218,6 +269,8 @@ class Trainer:
                 steps_per_call=steps,
                 footprint=self.footprint,
                 kernel=self.kernel,
+                mesh=self.mesh,
+                shard_axis=self.shard_axis,
             )
         return self._train_fns[key]
 
@@ -277,11 +330,26 @@ class Trainer:
     def densify(self):
         self._maybe_grow_capacity()
         self.key, sub = jax.random.split(self.key)
+        state = self.state
+        if self.mesh is not None:
+            # Densification is global (budget cumsum + compaction sort over
+            # all gaussians): all-gather to replicated, run the same jitted
+            # event as single-chip, slice back to contiguous row-range
+            # shards. Events are rare (every densification_interval), so the
+            # gather is amortized to noise; state stays bit-identical to the
+            # single-chip trajectory.
+            from ..parallel.sharding import replicate_train_state
+
+            state = replicate_train_state(state, self.mesh)
         p, a, x, n = densify_and_prune(
-            sub, self.state.params, self.state.adam, self.state.aux,
+            sub, state.params, state.adam, state.aux,
             self.bbox, self.densify_cfg, self.scale_bound,
         )
         self.state = TrainState(params=p, adam=a, aux=x)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_train_state
+
+            self.state = shard_train_state(self.state, self.mesh, self.shard_axis)
         n = int(n)
         if n == 0:
             raise ValueError(

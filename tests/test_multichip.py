@@ -14,6 +14,89 @@ def test_sharded_train_step_runs_and_matches_replicated():
     assert np.isfinite(loss)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_trainer_matches_single_device_across_densify():
+    """Full-step equivalence: the mesh-sharded Trainer must reproduce the
+    single-device trajectory (params, Adam moments, densify stats, active
+    mask) across multiple dispatches INCLUDING a densification event, within
+    f32 summation-order tolerance."""
+    from r2_gaussian_tpu.parallel.sharding import make_mesh
+    from r2_gaussian_tpu.parallel.train_sharded import tiny_problem
+    from r2_gaussian_tpu.pipeline.trainer import Trainer
+
+    n = 1024  # divisible by 8 devices * 128-gaussian blocks
+    prob = tiny_problem(n, det=32)
+
+    single = Trainer(*prob, backend="dense", seed=3)
+    sharded = Trainer(*tiny_problem(n, det=32), backend="dense", seed=3,
+                      mesh=make_mesh(8))
+
+    # opt densifies every 4 iters from iter 2: run 2 dispatches = 8 iters,
+    # crossing events at iters 4 and 8.
+    m1, n1 = single.run_chunk(8)
+    m2, n2 = sharded.run_chunk(8)
+
+    assert n1 == n2 and n1 is not None
+    np.testing.assert_allclose(m2, m1, rtol=2e-4, atol=1e-5)
+
+    def canonical(state):
+        """Active rows of every per-gaussian leaf, in a canonical order.
+
+        The densify compaction sorts by Morton code; f32 summation-order
+        noise (~1e-8) can flip a Morton bit and permute a few rows between
+        the sharded and single trajectories, so rows are matched by sorting
+        on their (position, density) content instead of buffer order.
+        """
+        act = np.asarray(state.aux.active)
+        xyz = np.asarray(state.params.xyz)[act]
+        den = np.asarray(state.params.density)[act, 0]
+        order = np.lexsort((den, xyz[:, 2], xyz[:, 1], xyz[:, 0]))
+        out = {}
+        for name in ("params", "adam", "aux"):
+            tree = jax.tree.map(np.asarray, getattr(state, name))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                if leaf.ndim >= 1 and leaf.shape[0] == act.shape[0]:
+                    out[f"{name}{path}"] = leaf[act][order]
+                else:
+                    out[f"{name}{path}"] = leaf
+        return out
+
+    a, b = canonical(single.state), canonical(sharded.state)
+    assert a.keys() == b.keys()
+    for key in a:
+        # Rotation gradients of near-isotropic gaussians are differences of
+        # near-cancelling terms; psum summation-order noise is amplified
+        # through Adam's m/sqrt(v) normalization into ~1e-4 wiggle on the
+        # (order-1) quaternions. Everything else matches to f32 tolerance.
+        atol = 2e-3 if "rotation" in key else 2e-5
+        np.testing.assert_allclose(
+            b[key], a[key], rtol=2e-3, atol=atol,
+            err_msg=f"{key} diverged between sharded and single",
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_trainer_pallas_backend():
+    """The Pallas splat kernels must run (and differentiate) under
+    shard_map: one sharded dispatch with backend='pallas' (interpret mode on
+    CPU) matches the single-device pallas step."""
+    from r2_gaussian_tpu.parallel.sharding import make_mesh
+    from r2_gaussian_tpu.parallel.train_sharded import tiny_problem
+    from r2_gaussian_tpu.pipeline.trainer import Trainer
+
+    n = 1024
+    single = Trainer(*tiny_problem(n, det=32), backend="pallas", seed=5)
+    sharded = Trainer(*tiny_problem(n, det=32), backend="pallas", seed=5,
+                      mesh=make_mesh(8))
+    m1, _ = single.run_chunk(2)
+    m2, _ = sharded.run_chunk(2)
+    np.testing.assert_allclose(m2, m1, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharded.state.params.xyz), np.asarray(single.state.params.xyz),
+        rtol=1e-3, atol=1e-6,
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_sharded_render_matches_single_device():
     """Gaussian-sharded render psum must equal the single-device render

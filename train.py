@@ -163,7 +163,7 @@ def save_model(trainer, scene, iteration, backend):
 
 
 def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iterations,
-             checkpoint_iterations, start_checkpoint):
+             checkpoint_iterations, start_checkpoint, n_devices: int = 1):
     scene = Scene(dataset.source_path, dataset.model_path, eval_split=dataset.eval)
     scanner_cfg = scene.scanner_cfg
     volume_to_world = max(scanner_cfg["sVoxel"])
@@ -178,12 +178,24 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
     params, aux = initialize_gaussians(
         dataset, scale_bound, capacity=int(opt.initial_capacity) or None
     )
+    mesh = None
+    if n_devices > 1:
+        # Gaussian-axis sharding over the device mesh: each chip renders a
+        # partial image from its shard, psum over ICI (exact — the X-ray
+        # accumulation is order-independent). See parallel/train_sharded.py.
+        from r2_gaussian_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(n_devices)
     trainer = Trainer(
         scene.train_cameras, scanner_cfg, opt, scale_bound, params, aux,
-        backend=backend, footprint=pipe.footprint,
+        backend=backend, footprint=pipe.footprint, mesh=mesh,
     )
     if start_checkpoint:
         state, it, sb = load_checkpoint(start_checkpoint)
+        if mesh is not None:
+            from r2_gaussian_tpu.parallel.sharding import shard_train_state
+
+            state = shard_train_state(state, mesh)
         trainer.state = state
         trainer.iteration = it
         print(f"Load checkpoint {osp.basename(start_checkpoint)}.")
@@ -264,6 +276,9 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard the gaussians over this many devices "
+                             "(gaussian-axis mesh, psum render)")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
     args.test_iterations.append(args.iterations)
@@ -282,6 +297,6 @@ if __name__ == "__main__":
     training(
         lp.extract(args), op.extract(args), pp.extract(args), tb_writer,
         args.test_iterations, args.save_iterations, args.checkpoint_iterations,
-        args.start_checkpoint,
+        args.start_checkpoint, n_devices=args.n_devices,
     )
     print("Training complete.")
