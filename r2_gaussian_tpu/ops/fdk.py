@@ -79,8 +79,8 @@ def _backproject(
 
     w2cs = jnp.linalg.inv(c2ws)
 
-    def one_slab(z0):
-        z_sl = jax.lax.dynamic_slice_in_dim(zs, z0, z_chunk)
+    def one_slab(z0, zc):
+        z_sl = jax.lax.dynamic_slice_in_dim(zs, z0, zc)
         px, py, pz = jnp.meshgrid(xs, ys, z_sl, indexing="ij")
         pts = jnp.stack([px, py, pz, jnp.ones_like(px)], -1)  # [nx,ny,zc,4]
 
@@ -104,11 +104,13 @@ def _backproject(
             return carry + weight * val, None
 
         acc, _ = jax.lax.scan(
-            per_view, jnp.zeros((nx, ny, z_chunk), jnp.float32), (filtered, w2cs)
+            per_view, jnp.zeros((nx, ny, zc), jnp.float32), (filtered, w2cs)
         )
         return acc * (d_theta / 2.0) if fdk_weight else acc
 
-    slabs = [one_slab(z0) for z0 in range(0, nz, z_chunk)]
+    # final slab may be short: dynamic_slice would clamp the start and
+    # silently duplicate voxels, so pass each slab's true length
+    slabs = [one_slab(z0, min(z_chunk, nz - z0)) for z0 in range(0, nz, z_chunk)]
     return jnp.concatenate(slabs, axis=2)
 
 

@@ -1,6 +1,7 @@
 """Classical-method baselines (reference scripts/run_traditional_methods.py):
-reconstruct with fdk/sart/cgls, report 3D metrics and test-set reprojection
-2D metrics, dump results per method."""
+reconstruct with fdk/sart/ossart/asd_pocs/os_asd_pocs/cgls, report 3D
+metrics and test-set reprojection 2D metrics, dump results per method.
+Default method list matches the reference (:47): fdk, sart, asd_pocs."""
 
 import argparse
 import json
@@ -23,9 +24,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", type=str, required=True)
     parser.add_argument("--output", type=str, required=True)
-    parser.add_argument("--methods", nargs="+", default=["fdk", "sart", "cgls"])
+    parser.add_argument("--methods", nargs="+",
+                        default=["fdk", "sart", "asd_pocs"])
     parser.add_argument("--sart_iters", type=int, default=20)
     parser.add_argument("--cgls_iters", type=int, default=60)
+    parser.add_argument("--pocs_iters", type=int, default=10)
     args = parser.parse_args()
 
     scene = Scene(args.data, eval_split=True)
@@ -36,10 +39,12 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         t0 = time.time()
         kw = {}
-        if method == "sart":
+        if method in ("sart", "ossart"):
             kw["n_iter"] = args.sart_iters
         if method == "cgls":
             kw["n_iter"] = args.cgls_iters
+        if method in ("asd_pocs", "os_asd_pocs"):
+            kw["n_iter"] = args.pocs_iters
         vol = recon_volume(cams.images, cams.angles, scene.scanner_cfg, method, **kw)
         wall = time.time() - t0
         np.save(osp.join(out_dir, f"vol_{method}.npy"), vol)
