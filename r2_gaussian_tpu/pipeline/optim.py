@@ -33,21 +33,37 @@ def init_adam(params: GaussianParams) -> AdamState:
     return AdamState(m=zeros, v=jax.tree.map(jnp.zeros_like, params), step=jnp.int32(0))
 
 
-def expon_lr(step, lr_init: float, lr_final: float, max_steps: int):
-    """Log-linear interpolation from lr_init to lr_final
-    (reference gaussian_utils.py:13-46, no delay)."""
+def expon_lr(step, lr_init: float, lr_final: float, max_steps: int,
+             lr_delay_steps: int = 0, lr_delay_mult: float = 1.0):
+    """Log-linear interpolation from lr_init to lr_final, with optional
+    reverse-cosine warmup over the first lr_delay_steps (reference
+    gaussian_utils.py:13-46; delay unused by the default config but part of
+    the schedule spec)."""
     if lr_init == 0.0 and lr_final == 0.0:
         return jnp.zeros_like(jnp.asarray(step, jnp.float32))
-    t = jnp.clip(jnp.asarray(step, jnp.float32) / max_steps, 0.0, 1.0)
-    return jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    step = jnp.asarray(step, jnp.float32)
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+        )
+    else:
+        delay_rate = 1.0
+    return delay_rate * log_lerp
 
 
 def group_lrs(opt_cfg, iteration, spatial_lr_scale: float = 1.0) -> GaussianParams:
     """Learning rate for each param-group leaf at `iteration`."""
     s = spatial_lr_scale
+    delay = dict(
+        lr_delay_steps=int(getattr(opt_cfg, "position_lr_delay_steps", 0)),
+        lr_delay_mult=float(getattr(opt_cfg, "position_lr_delay_mult", 1.0)),
+    )
     return GaussianParams(
         xyz=expon_lr(iteration, opt_cfg.position_lr_init * s,
-                     opt_cfg.position_lr_final * s, opt_cfg.position_lr_max_steps),
+                     opt_cfg.position_lr_final * s, opt_cfg.position_lr_max_steps,
+                     **delay),
         density=expon_lr(iteration, opt_cfg.density_lr_init * s,
                          opt_cfg.density_lr_final * s, opt_cfg.density_lr_max_steps),
         scaling=expon_lr(iteration, opt_cfg.scaling_lr_init * s,

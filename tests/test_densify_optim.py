@@ -143,3 +143,21 @@ def test_expon_lr_endpoints():
     assert float(expon_lr(50, 1e-2, 1e-3, 100)) == pytest.approx(
         np.sqrt(1e-2 * 1e-3), rel=1e-5
     )
+
+
+def test_expon_lr_delay_warmup():
+    # reference gaussian_utils.py:13-46: reverse-cosine ease-in scales the
+    # schedule by lr_delay_mult at step 0, back to 1x at lr_delay_steps
+    lr0 = float(expon_lr(0, 1e-2, 1e-3, 100, lr_delay_steps=10,
+                         lr_delay_mult=0.1))
+    assert lr0 == pytest.approx(1e-3, rel=1e-5)  # 0.1 * lr_init
+    lr10 = float(expon_lr(10, 1e-2, 1e-3, 100, lr_delay_steps=10,
+                          lr_delay_mult=0.1))
+    undelayed = float(expon_lr(10, 1e-2, 1e-3, 100))
+    assert lr10 == pytest.approx(undelayed, rel=1e-5)
+    # mid-warmup follows lr_delay_mult + (1-m) sin(pi/2 * s/S)
+    lr5 = float(expon_lr(5, 1e-2, 1e-3, 100, lr_delay_steps=10,
+                         lr_delay_mult=0.1))
+    expect = (0.1 + 0.9 * np.sin(0.5 * np.pi * 0.5)) * float(
+        expon_lr(5, 1e-2, 1e-3, 100))
+    assert lr5 == pytest.approx(expect, rel=1e-5)

@@ -44,6 +44,7 @@ from r2_gaussian_tpu.pipeline.trainer import Trainer, TrainState
 from r2_gaussian_tpu.pipeline.optim import init_adam
 from r2_gaussian_tpu.utils.logging_utils import prepare_output_and_logger
 from r2_gaussian_tpu.utils.metrics import metric_proj, metric_vol_psnr, metric_vol_ssim
+from r2_gaussian_tpu.utils.plot_utils import show_two_slice
 
 
 def find_init_file(dataset) -> str:
@@ -105,6 +106,22 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
                 xyz, scales, rots, dens, active,
                 jnp.asarray(cams.w2c[i]), jnp.asarray(cams.full_proj[i]),
             )))
+        if tb_writer:
+            # gt/render/diff panels for ~5 evenly spaced views
+            # (reference train.py:258-305)
+            show_idx = np.linspace(0, len(cams), 7).astype(int)[1:-1]
+            panels = [
+                show_two_slice(
+                    cams.images[i], imgs[i], f"view {i} gt", f"view {i} render",
+                    vmin=cams.images[i].min() if iteration != 1 else None,
+                    vmax=cams.images[i].max() if iteration != 1 else None,
+                )
+                for i in np.unique(show_idx)
+            ]
+            tb_writer.add_image(
+                f"{name}/gt_render_diff", np.concatenate(panels, axis=0),
+                global_step=iteration, dataformats="HWC",
+            )
         m = metric_proj(cams.images, np.stack(imgs))
         results[name] = m
         with open(osp.join(eval_path, f"eval2d_{name}.yml"), "w") as f:
@@ -136,8 +153,32 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
                 f, default_flow_style=False, sort_keys=False,
             )
         if tb_writer:
+            # gt/pred/diff slice panels (reference train.py:330-352)
+            nz = vol_pred.shape[2]
+            slice_idx = np.unique(np.linspace(0, nz, 7).astype(int)[1:-1])
+            panels = [
+                show_two_slice(
+                    scene.vol_gt[..., i], vol_pred[..., i],
+                    f"slice {i} gt", f"slice {i} pred",
+                    vmin=scene.vol_gt[..., i].min(),
+                    vmax=scene.vol_gt[..., i].max(),
+                )
+                for i in slice_idx
+            ]
+            tb_writer.add_image(
+                "reconstruction/slice-gt_pred_diff",
+                np.concatenate(panels, axis=0), global_step=iteration,
+                dataformats="HWC",
+            )
             tb_writer.add_scalar("reconstruction/psnr_3d", psnr_3d, iteration)
             tb_writer.add_scalar("reconstruction/ssim_3d", ssim_3d, iteration)
+    if tb_writer:
+        # activated density histogram over live gaussians
+        # (reference train.py:357-360)
+        tb_writer.add_histogram(
+            "scene/density_histogram", np.asarray(dens)[np.asarray(active)],
+            global_step=iteration,
+        )
     p2 = results.get("render_test", results.get("render_train", {}))
     tqdm.write(
         f"[ITER {iteration}] Evaluating: psnr3d {psnr_3d if psnr_3d is not None else float('nan'):.3f}, "
