@@ -62,6 +62,29 @@ def _col_selector(ox, ww: int, width: int):
     return (cols - rows == ox).astype(jnp.float32)
 
 
+def _buf_width(ww: int, width: int) -> int:
+    """Lane width of the placement buffer for a ww-wide window: the window
+    origin is split ox = ox_hi + ox_lo with ox_hi a multiple of 128 (so the
+    buffer lands in the image via an aligned dynamic lane slice) and
+    ox_lo < 128 absorbed by the selector matmul. Shrinks the per-chunk
+    selector matmul and image read-modify-write from full image width to
+    ~2-3 lane tiles. Returns `width` when the split does not pay."""
+    bufw = 128 * ((ww + 127) // 128) + 128
+    if bufw >= width or width % 128:
+        return width
+    return bufw
+
+
+def _split_ox(ox, ww: int, width: int):
+    """(ox_hi, ox_lo) for the hi/lo placement split; ox_hi is a multiple of
+    128 and ox_lo + ww <= _buf_width always (at the right image edge ox_hi
+    clamps to width - bufw and ox_lo absorbs the excess, which still fits:
+    ox <= width - ww implies ox - (width - bufw) <= bufw - ww)."""
+    bufw = _buf_width(ww, width)
+    ox_hi = jnp.minimum((ox // 128) * 128, width - bufw)
+    return pl.multiple_of(ox_hi, 128), ox - ox_hi
+
+
 def _place(patch, sel):
     """(RC, ww) @ (ww, width) at full f32 precision (sel is 0/1; Mosaic
     only lowers DEFAULT and HIGHEST dot precisions)."""
@@ -120,7 +143,7 @@ def _rc_for(ww: int) -> int:
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _grad_rows_out_spec(nrows):
+def _grad_rows_out_spec(nrows, gg=G):
     """Backward gradient out spec: each real step writes its block's row
     directly (index map ids[i]; each block id appears at most once in ids,
     so no scatter is needed); pad steps all land on the sentinel row (zeros
@@ -131,7 +154,7 @@ def _grad_rows_out_spec(nrows):
     alternative costs ~1 ms/MB in the gather.
     """
     return pl.BlockSpec(
-        (1, nrows, G),
+        (1, nrows, gg),
         lambda i, ids, *rest: (ids[i], 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -178,7 +201,9 @@ def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 wxf = (plin % ww).astype(jnp.float32)
                 wyf = (plin // ww).astype(jnp.float32)
                 pxf = wxf + ox.astype(jnp.float32)
-                sel = _col_selector(ox, ww, width)
+                bufw = _buf_width(ww, width)
+                ox_hi, ox_lo = _split_ox(ox, ww, width)
+                sel = _col_selector(ox_lo, ww, bufw)
 
                 def one_chunk(step, _):
                     y0 = pl.multiple_of(oy + step * rc, 8)
@@ -195,8 +220,8 @@ def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                                       keepdims=True)
                     patch = _to_grid(contrib, rc, ww)
                     rows = _place(patch, sel)
-                    cur = img[pl.ds(y0, rc), :]
-                    img[pl.ds(y0, rc), :] = cur + rows
+                    cur = img[pl.ds(y0, rc), pl.ds(ox_hi, bufw)]
+                    img[pl.ds(y0, rc), pl.ds(ox_hi, bufw)] = cur + rows
                     return 0
 
                 n_chunks = wh // rc
@@ -214,7 +239,7 @@ def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
 def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                       gimg_ref, dout_ref, *, tiers, height, width):
     i = pl.program_id(0)
-    dout_ref[0] = jnp.zeros((NF, G), jnp.float32)
+    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
 
     @pl.when(i < count_ref[0])
     def _():
@@ -232,13 +257,16 @@ def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 wxf = (plin % ww).astype(jnp.float32)
                 wyf = (plin // ww).astype(jnp.float32)
                 pxf = wxf + ox.astype(jnp.float32)
-                sel = _col_selector(ox, ww, width)
+                bufw = _buf_width(ww, width)
+                ox_hi, ox_lo = _split_ox(ox, ww, width)
+                sel = _col_selector(ox_lo, ww, bufw)
 
                 def one_chunk(step, acc):
                     dmx, dmy, dcxx, dcxy, dcyy, dw = acc
                     y0 = pl.multiple_of(oy + step * rc, 8)
                     pyf = wyf + y0.astype(jnp.float32)
-                    gi = _extract(gimg_ref[pl.ds(y0, rc), :], sel)
+                    gi = _extract(gimg_ref[pl.ds(y0, rc), pl.ds(ox_hi, bufw)],
+                                  sel)
                     gcol = _to_column(gi, rc, ww)
                     dx = pxf - mx
                     dy = pyf - my
@@ -260,7 +288,7 @@ def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                         dw + jnp.sum(galpha * e, axis=0)[None],
                     )
 
-                zeros = jnp.zeros((1, G), jnp.float32)
+                zeros = jnp.zeros_like(mx)
                 acc = (zeros,) * 6
                 n_chunks = wh // rc
                 if n_chunks <= _UNROLL_MAX:
@@ -283,9 +311,9 @@ def _splat_multi(data_ext, ids, origins, tsel, count, height, width, tiers):
                                  width, tiers)
 
 
-def _multi_specs(cap, height, width, with_gimg):
+def _multi_specs(cap, height, width, with_gimg, gg=G):
     in_specs = [
-        pl.BlockSpec((1, NF, G), lambda i, ids, o, t, c: (ids[i], 0, 0),
+        pl.BlockSpec((1, NF, gg), lambda i, ids, o, t, c: (ids[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if with_gimg:
@@ -302,7 +330,8 @@ def _splat_multi_fwd_impl(data_ext, ids, origins, tsel, count, height, width,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=_multi_specs(cap, height, width, False),
+        in_specs=_multi_specs(cap, height, width, False,
+                              gg=data_ext.shape[2]),
         out_specs=pl.BlockSpec((height, width), lambda i, ids, o, t, c: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
@@ -326,18 +355,18 @@ def _splat_multi_fwd(data_ext, ids, origins, tsel, count, height, width, tiers):
 def _splat_multi_bwd(height, width, tiers, res, gimg):
     data_ext, ids, origins, tsel, count = res
     cap = ids.shape[0]
-    nbp1 = data_ext.shape[0]
+    nbp1, gg = data_ext.shape[0], data_ext.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=_multi_specs(cap, height, width, True),
-        out_specs=_grad_rows_out_spec(NF),
+        in_specs=_multi_specs(cap, height, width, True, gg=gg),
+        out_specs=_grad_rows_out_spec(NF, gg=gg),
     )
     dkdata = pl.pallas_call(
         functools.partial(_bwd_kernel_multi, tiers=tiers, height=height,
                           width=width),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbp1, NF, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbp1, NF, gg), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, origins, tsel, count, data_ext, gimg)
@@ -397,8 +426,8 @@ def _lr_factor_u(d, ox, ww: int):
     xh = dx * kxs
     ex = jnp.exp(-0.5 * xh * xh)
     cols = []
-    he_p = jnp.zeros((ww, G), jnp.float32)
-    he = jnp.ones((ww, G), jnp.float32)
+    he_p = jnp.zeros_like(dx)
+    he = jnp.ones_like(dx)
     ck = wp
     for k in range(K_LR):
         if k > 0:
@@ -417,8 +446,8 @@ def _lr_factor_v(d, ybase, rc: int):
     yh = dy * kys
     ey = jnp.exp(-0.5 * yh * yh)
     cols = []
-    he_p = jnp.zeros((rc, G), jnp.float32)
-    he = jnp.ones((rc, G), jnp.float32)
+    he_p = jnp.zeros_like(dy)
+    he = jnp.ones_like(dy)
     for k in range(K_LR):
         if k > 0:
             he_p, he = he, yh * he - (k - 1) * he_p
@@ -467,7 +496,9 @@ def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 rc = _rc_lr(wh)
                 u_mat, _, _, _ = _lr_factor_u(d, ox, ww)
                 u16 = u_mat.astype(jnp.bfloat16)
-                sel = _col_selector(ox, ww, width)
+                bufw = _buf_width(ww, width)
+                ox_hi, ox_lo = _split_ox(ox, ww, width)
+                sel = _col_selector(ox_lo, ww, bufw)
 
                 def one_chunk(step, _):
                     y0 = pl.multiple_of(oy + step * rc, 8)
@@ -478,8 +509,8 @@ def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                         preferred_element_type=jnp.float32,
                     )
                     rows = _place(patch, sel)
-                    cur = img[pl.ds(y0, rc), :]
-                    img[pl.ds(y0, rc), :] = cur + rows
+                    cur = img[pl.ds(y0, rc), pl.ds(ox_hi, bufw)]
+                    img[pl.ds(y0, rc), pl.ds(ox_hi, bufw)] = cur + rows
                     return 0
 
                 n_chunks = wh // rc
@@ -498,7 +529,7 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                          gimg_ref, dout_ref, du_scr, *, tiers, height,
                          width):
     i = pl.program_id(0)
-    dout_ref[0] = jnp.zeros((NF, G), jnp.float32)
+    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
 
     @pl.when(i < count_ref[0])
     def _():
@@ -516,14 +547,19 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 rc = _rc_lr(wh)
                 u_mat, dxs, xh, ex = _lr_factor_u(d, ox, ww)
                 u16 = u_mat.astype(jnp.bfloat16)
-                sel = _col_selector(ox, ww, width)
-                du_scr[pl.ds(0, ww), :] = jnp.zeros((ww, K_LR * G), jnp.float32)
+                bufw = _buf_width(ww, width)
+                ox_hi, ox_lo = _split_ox(ox, ww, width)
+                sel = _col_selector(ox_lo, ww, bufw)
+                gg = d.shape[-1]
+                du_scr[pl.ds(0, ww), :] = jnp.zeros((ww, K_LR * gg),
+                                                    jnp.float32)
 
                 def one_chunk(step, acc):
                     dmy, dky = acc
                     y0 = pl.multiple_of(oy + step * rc, 8)
                     v_mat, dys, yh, ey = _lr_factor_v(d, y0, rc)
-                    dpatch = _extract(gimg_ref[pl.ds(y0, rc), :], sel)
+                    dpatch = _extract(
+                        gimg_ref[pl.ds(y0, rc), pl.ds(ox_hi, bufw)], sel)
                     dp16 = dpatch.astype(jnp.bfloat16)
                     du_scr[pl.ds(0, ww), :] = du_scr[pl.ds(0, ww), :] + \
                         jax.lax.dot_general(
@@ -535,13 +571,13 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                         dp16, u16, dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    dvk = [dv[:, k * G:(k + 1) * G] for k in range(K_LR)]
+                    dvk = [dv[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
                     d_yh, _ = _he_series(yh, ey, dvk)
                     dmy = dmy - jnp.sum(d_yh * kys, axis=0, keepdims=True)
                     dky = dky + jnp.sum(d_yh * dys, axis=0, keepdims=True)
                     return dmy, dky
 
-                zeros = jnp.zeros((1, G), jnp.float32)
+                zeros = jnp.zeros_like(wp)
                 n_chunks = wh // rc
                 acc = (zeros, zeros)
                 if n_chunks <= _UNROLL_MAX:
@@ -552,9 +588,9 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 dmy, dky = acc
 
                 du = du_scr[pl.ds(0, ww), :]
-                duk = [du[:, k * G:(k + 1) * G] for k in range(K_LR)]
+                duk = [du[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
                 rks = []
-                rk = jnp.ones((1, G), jnp.float32)
+                rk = jnp.ones_like(wp)
                 for k in range(K_LR):
                     if k > 0:
                         rk = rk * rho * (1.0 / k)
@@ -563,8 +599,8 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 d_xh, dc = _he_series(xh, ex, duk, coeffs=coeffs)
                 dmx = -jnp.sum(d_xh * kxs, axis=0, keepdims=True)
                 dkx = jnp.sum(d_xh * dxs, axis=0, keepdims=True)
-                dwp = jnp.zeros((1, G), jnp.float32)
-                drho = jnp.zeros((1, G), jnp.float32)
+                dwp = jnp.zeros_like(wp)
+                drho = jnp.zeros_like(wp)
                 for k in range(K_LR):
                     dwp = dwp + dc[k] * rks[k]
                     if k > 0:
@@ -587,7 +623,8 @@ def _splat_multi_lr_fwd_impl(data_ext, ids, origins, tsel, count, height,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=_multi_specs(cap, height, width, False),
+        in_specs=_multi_specs(cap, height, width, False,
+                              gg=data_ext.shape[2]),
         out_specs=pl.BlockSpec((height, width), lambda i, ids, o, t, c: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
@@ -612,20 +649,20 @@ def _splat_multi_lr_fwd(data_ext, ids, origins, tsel, count, height, width,
 def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
     data_ext, ids, origins, tsel, count = res
     cap = ids.shape[0]
-    nbp1 = data_ext.shape[0]
+    nbp1, gg = data_ext.shape[0], data_ext.shape[2]
     max_ww = max(ww for _, ww in tiers)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
-        in_specs=_multi_specs(cap, height, width, True),
-        out_specs=_grad_rows_out_spec(NF),
-        scratch_shapes=[pltpu.VMEM((max_ww, K_LR * G), jnp.float32)],
+        in_specs=_multi_specs(cap, height, width, True, gg=gg),
+        out_specs=_grad_rows_out_spec(NF, gg=gg),
+        scratch_shapes=[pltpu.VMEM((max_ww, K_LR * gg), jnp.float32)],
     )
     dkdata = pl.pallas_call(
         functools.partial(_bwd_kernel_lr_multi, tiers=tiers, height=height,
                           width=width),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbp1, NF, G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbp1, NF, gg), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, origins, tsel, count, data_ext, gimg)
@@ -662,6 +699,9 @@ def _build_features_lr(prep: Preprocessed):
 # high-level entry: block building + tier routing (all XLA, differentiable)
 
 
+GROUP = 2  # consecutive Morton 128-blocks per kernel block (lane width G*GROUP)
+
+
 class SplatConfig(NamedTuple):
     # (window_h, window_w) per tier, ascending; window_h % rc == 0.
     # A terminal full-frame tier is appended automatically (when the image
@@ -694,12 +734,16 @@ def _pad_components(comps, pad):
     return comps
 
 
-def _kdata_from_components(comps, nb):
-    """NF x (N,) component list -> [NB+1, NF, G] kernel block layout (pure
+def _kdata_from_components(comps, nb, gg=G):
+    """NF x (N,) component list -> [NB+1, NF, gg] kernel block layout (pure
     reshapes + one lane-aligned concat; no (N, k)-stack relayouts) with an
-    appended all-zero sentinel block."""
-    kdata = jnp.concatenate([c.reshape(nb, 1, G) for c in comps], axis=1)
-    return jnp.concatenate([kdata, jnp.zeros((1, NF, G), kdata.dtype)], 0)
+    appended all-zero sentinel block. gg > G groups `gg // G` consecutive
+    Morton blocks into one kernel block — Morton-adjacent blocks are
+    spatially adjacent, so the union window grows mildly while the
+    per-grid-step overhead (~0.6 us/step measured on v5e) amortizes over
+    gg gaussians."""
+    kdata = jnp.concatenate([c.reshape(nb, 1, gg) for c in comps], axis=1)
+    return jnp.concatenate([kdata, jnp.zeros((1, NF, gg), kdata.dtype)], 0)
 
 
 def _dense_fallback(comps, idx, count, height, width, chunk: int):
@@ -773,22 +817,22 @@ def _run_tiers(multi_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
     return img, assigned
 
 
-def _block_bboxes(comps, nb):
+def _block_bboxes(comps, nb, gg=G):
     """Per-block union bounds from the NF-component list (weight index 5,
     bounds indices 6-9)."""
-    valid = comps[5].reshape(nb, G) > 0.0
+    valid = comps[5].reshape(nb, gg) > 0.0
     big = jnp.float32(1e9)
-    bxlo = jnp.min(jnp.where(valid, comps[6].reshape(nb, G), big), axis=1)
-    bxhi = jnp.max(jnp.where(valid, comps[7].reshape(nb, G), -big), axis=1)
-    bylo = jnp.min(jnp.where(valid, comps[8].reshape(nb, G), big), axis=1)
-    byhi = jnp.max(jnp.where(valid, comps[9].reshape(nb, G), -big), axis=1)
+    bxlo = jnp.min(jnp.where(valid, comps[6].reshape(nb, gg), big), axis=1)
+    bxhi = jnp.max(jnp.where(valid, comps[7].reshape(nb, gg), -big), axis=1)
+    bylo = jnp.min(jnp.where(valid, comps[8].reshape(nb, gg), big), axis=1)
+    byhi = jnp.max(jnp.where(valid, comps[9].reshape(nb, gg), -big), axis=1)
     return valid, bxlo, bxhi, bylo, byhi, jnp.any(valid, axis=1)
 
 
 def render_pallas(
     prep: Preprocessed, *, width: int, height: int,
     config: SplatConfig = DEFAULT_CONFIG, return_aux: bool = False,
-    kernel: str = "direct",
+    kernel: str = "direct", group: int | None = None,
 ):
     """Render via tiered splat-block kernels; blocks beyond the largest tier
     take an exact dense fallback. Returns [H, W] (+ diagnostics if
@@ -820,12 +864,16 @@ def render_pallas(
     assert config.dense_cap % config.dense_chunk == 0
     use_lr = kernel in ("lowrank", "auto")
     n = prep.mx.shape[0]
-    pad = (-n) % G
+    # gg-lane kernel blocks group `group` consecutive Morton 128-blocks:
+    # per-grid-step overhead (~0.6 us on v5e) dominates per-block compute at
+    # steady state, and Morton adjacency keeps the union window growth mild.
+    gg = G * (GROUP if group is None else group)
+    pad = (-n) % gg
     comps = _pad_components(_build_features(prep), pad)
     npad = n + pad
-    nb = npad // G
+    nb = npad // gg
 
-    valid, bxlo, bxhi, bylo, byhi, has_any = _block_bboxes(comps, nb)
+    valid, bxlo, bxhi, bylo, byhi, has_any = _block_bboxes(comps, nb, gg)
 
     aux = {} if return_aux else None
     fb_masks = []  # (component-list, per-gaussian fallback mask) pairs
@@ -845,8 +893,9 @@ def render_pallas(
         comps_sub, handled = compact_lanes(comps, spill, ocap=SPILL_CAP,
                                            bcap=SPILL_BCAP)
         comps_lr[5] = jnp.where(handled, 0.0, comps_lr[5])
-        kdata_lr = _kdata_from_components(comps_lr, nb)
-        valid_lr, lxlo, lxhi, lylo, lyhi, lhas = _block_bboxes(comps_lr, nb)
+        kdata_lr = _kdata_from_components(comps_lr, nb, gg)
+        valid_lr, lxlo, lxhi, lylo, lyhi, lhas = _block_bboxes(comps_lr, nb,
+                                                               gg)
         img, assigned_lr = _run_tiers(
             _splat_multi_lr, kdata_lr, tiers, lhas,
             lxlo, lxhi, lylo, lyhi, height, width, aux, "lr_",
@@ -854,7 +903,7 @@ def render_pallas(
         # leftovers of the low-rank path fall back via the DIRECT features
         # (exact cutoff semantics) — same gaussians, spilled ones excluded
         fb_masks.append(
-            (comps, (~assigned_lr)[:, None].repeat(G, 1).reshape(npad)
+            (comps, (~assigned_lr)[:, None].repeat(gg, 1).reshape(npad)
              & (comps_lr[5] > 0.0))
         )
 
@@ -873,13 +922,13 @@ def render_pallas(
         if return_aux:
             aux["spill_count"] = jnp.sum(spill.astype(jnp.int32))
     else:
-        kdata = _kdata_from_components(comps, nb)
+        kdata = _kdata_from_components(comps, nb, gg)
         img, assigned = _run_tiers(
             _splat_multi, kdata, tiers, has_any,
             bxlo, bxhi, bylo, byhi, height, width, aux, "",
         )
         fb_masks.append(
-            (comps, (~assigned)[:, None].repeat(G, 1).reshape(npad)
+            (comps, (~assigned)[:, None].repeat(gg, 1).reshape(npad)
              & (comps[5] > 0.0))
         )
 

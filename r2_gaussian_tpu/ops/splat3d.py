@@ -83,6 +83,19 @@ def _fwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, out_ref, vol, *, wx,
         out_ref[...] = vol[...]
 
 
+def _quant8(wx: int, rcx: int, rcy: int, vz: int, z_off) -> tuple:
+    """(xq8, yq8): whether the whole-chunk cube-quantized x/y rect tests are
+    valid — footprint bounds are multiples of 8 (8^3 cube quantization,
+    reference cuda_voxelizer getCube), so when a chunk's x (resp. y) range is
+    an aligned 8-row span, the per-voxel rect compare collapses to a (1, G)
+    whole-chunk test. x origins are always 8-aligned (sublane constraint);
+    y origins are 8-aligned only on the aligned3 path with vz >= 16."""
+    del z_off
+    xq8 = rcx == 8 and wx % 8 == 0
+    yq8 = rcy == 8 and _aligned3(rcy, vz) and (128 // vz) <= 8
+    return xq8, yq8
+
+
 def _fwd3_body(ids_ref, origin_ref, data_ref, vol, i, *, wx, wy, vz, vys, z_off):
     ox = pl.multiple_of(origin_ref[i] & 0xFFFF, 8)
     oy = origin_ref[i] >> 16
@@ -94,14 +107,17 @@ def _fwd3_body(ids_ref, origin_ref, data_ref, vol, i, *, wx, wy, vz, vys, z_off)
     xlo, xhi = data[10:11], data[11:12]
     ylo, yhi = data[12:13], data[13:14]
     zlo, zhi = data[14:15], data[15:16]
+    ib2, ic2, ie2 = ib + ib, ic + ic, ie + ie
 
     rcx, rcy = _chunk3(wx, wy, vz)
     aligned = _aligned3(rcy, vz)
+    xq8, yq8 = _quant8(wx, rcx, rcy, vz, z_off)
     p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
     ly = (p // vz) % rcy
     lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
+    okz = (vzf >= zlo) & (vzf < zhi)  # (P, G), chunk-invariant
     nsx, nsy = wx // rcx, wy // rcy
 
     def one_chunk(step, _):
@@ -113,17 +129,25 @@ def _fwd3_body(ids_ref, origin_ref, data_ref, vol, i, *, wx, wy, vz, vys, z_off)
         dx = vxf - cx  # (P, G)
         dy = vyf - cy
         dz = vzf - cz
-        power = (
-            -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-            - ib * dx * dy - ic * dx * dz - ie * dy * dz
+        # Horner-factored quadratic: 3 mults + FMA chains instead of the
+        # expanded 10-term form (VPU-bound kernel; ops are the budget)
+        power = -0.5 * (
+            dx * (ia * dx + ib2 * dy + ic2 * dz)
+            + dy * (id_ * dy + ie2 * dz)
+            + dz * (if_ * dz)
         )
         alpha = w * jnp.exp(power)
-        ok = (
-            (vxf >= xlo) & (vxf < xhi)
-            & (vyf >= ylo) & (vyf < yhi)
-            & (vzf >= zlo) & (vzf < zhi)
-            & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-        )
+        if xq8:
+            x0f = x0.astype(jnp.float32)
+            okx = (xlo <= x0f) & (xhi >= x0f + rcx)  # (1, G)
+        else:
+            okx = (vxf >= xlo) & (vxf < xhi)
+        if yq8:
+            y0f = y0.astype(jnp.float32)
+            oky = (ylo <= y0f) & (yhi >= y0f + rcy)  # (1, G)
+        else:
+            oky = (vyf >= ylo) & (vyf < yhi)
+        ok = (okx & oky) & okz & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
         contrib = jnp.sum(jnp.where(ok, alpha, 0.0), axis=1, keepdims=True)
         patch = _to_grid(contrib, rcx, rcy * vz)
         if aligned:
@@ -167,21 +191,28 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
     xlo, xhi = data[10:11], data[11:12]
     ylo, yhi = data[12:13], data[13:14]
     zlo, zhi = data[14:15], data[15:16]
+    ib2, ic2, ie2 = ib + ib, ic + ic, ie + ie
 
     rcx, rcy = _chunk3(wx, wy, vz)
     aligned = _aligned3(rcy, vz)
+    xq8, yq8 = _quant8(wx, rcx, rcy, vz, z_off)
     p = jax.lax.broadcasted_iota(jnp.int32, (rcx * rcy * vz, 1), 0)
     lz = p % vz
     ly = (p // vz) % rcy
     lx = p // (vz * rcy)
     vzf = lz.astype(jnp.float32) + (0.5 + z_off)
+    okz = (vzf >= zlo) & (vzf < zhi)
     nsx, nsy = wx // rcx, wy // rcy
 
     def rsum(x):
         return jnp.sum(x, axis=0)[None]
 
+    # Accumulate the 10 weighted moments of gpow = dL/dpower instead of the
+    # per-parameter gradient expressions: the chain from moments to
+    # (center, conic, weight) grads is (1, G) math applied once after the
+    # chunk loop, so the per-pair work in the loop is minimal.
     def one_chunk(step, acc):
-        dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw = acc
+        s0, sx_, sy_, sz_, sxx, sxy, sxz, syy, syz, szz = acc
         sx, sy = step // nsy, step % nsy
         x0 = pl.multiple_of(ox + sx * rcx, 8)
         y0 = oy + sy * rcy
@@ -198,31 +229,32 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
         dx = vxf - cx
         dy = vyf - cy
         dz = vzf - cz
-        power = (
-            -0.5 * (ia * dx * dx + id_ * dy * dy + if_ * dz * dz)
-            - ib * dx * dy - ic * dx * dz - ie * dy * dz
+        power = -0.5 * (
+            dx * (ia * dx + ib2 * dy + ic2 * dz)
+            + dy * (id_ * dy + ie2 * dz)
+            + dz * (if_ * dz)
         )
-        e = jnp.exp(power)
-        alpha = w * e
-        ok = (
-            (vxf >= xlo) & (vxf < xhi)
-            & (vyf >= ylo) & (vyf < yhi)
-            & (vzf >= zlo) & (vzf < zhi)
-            & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-        )
-        galpha = jnp.where(ok, gcol, 0.0)
-        gpow = galpha * alpha
+        alpha = w * jnp.exp(power)
+        if xq8:
+            x0f = x0.astype(jnp.float32)
+            okx = (xlo <= x0f) & (xhi >= x0f + rcx)
+        else:
+            okx = (vxf >= xlo) & (vxf < xhi)
+        if yq8:
+            y0f = y0.astype(jnp.float32)
+            oky = (ylo <= y0f) & (yhi >= y0f + rcy)
+        else:
+            oky = (vyf >= ylo) & (vyf < yhi)
+        ok = (okx & oky) & okz & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
+        gpow = jnp.where(ok, gcol, 0.0) * alpha
+        gx = gpow * dx
+        gy = gpow * dy
+        gz = gpow * dz
         return (
-            dcx + rsum(gpow * (ia * dx + ib * dy + ic * dz)),
-            dcy + rsum(gpow * (id_ * dy + ib * dx + ie * dz)),
-            dcz + rsum(gpow * (if_ * dz + ic * dx + ie * dy)),
-            dia + rsum(gpow * (-0.5 * dx * dx)),
-            dib + rsum(gpow * (-dx * dy)),
-            dic + rsum(gpow * (-dx * dz)),
-            did + rsum(gpow * (-0.5 * dy * dy)),
-            die + rsum(gpow * (-dy * dz)),
-            dif + rsum(gpow * (-0.5 * dz * dz)),
-            dw + rsum(galpha * e),
+            s0 + rsum(gpow),
+            sx_ + rsum(gx), sy_ + rsum(gy), sz_ + rsum(gz),
+            sxx + rsum(gx * dx), sxy + rsum(gx * dy), sxz + rsum(gx * dz),
+            syy + rsum(gy * dy), syz + rsum(gy * dz), szz + rsum(gz * dz),
         )
 
     zero = jnp.zeros((1, G), jnp.float32)
@@ -232,7 +264,14 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
             acc = one_chunk(step, acc)
     else:
         acc = jax.lax.fori_loop(0, nsx * nsy, one_chunk, acc)
-    dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw = acc
+    s0, sx_, sy_, sz_, sxx, sxy, sxz, syy, syz, szz = acc
+    dcx = ia * sx_ + ib * sy_ + ic * sz_
+    dcy = ib * sx_ + id_ * sy_ + ie * sz_
+    dcz = ic * sx_ + ie * sy_ + if_ * sz_
+    dia, did, dif = -0.5 * sxx, -0.5 * syy, -0.5 * szz
+    dib, dic, die = -sxy, -sxz, -syz
+    # dL/dw = sum(galpha * e) = sum(gpow) / w (w == 0 rows carry no grad)
+    dw = jnp.where(w > 0.0, s0 / jnp.where(w > 0.0, w, 1.0), 0.0)
     dout_ref[0] = jnp.concatenate(
         [dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw,
          zero, zero, zero, zero, zero, zero], axis=0
@@ -347,8 +386,9 @@ def _voxelize_block_tiers(comps, nb, candidate_cap, nx, ny, nz,
         rcx, rcy = _chunk3(wx, wy, nz)
         if _aligned3(rcy, nz):
             # y origin quantized so lane offsets (oy*vz) stay 128-aligned
-            # and the kernel can slice the volume scratch directly
-            q = max(1, 128 // nz)
+            # and the kernel can slice the volume scratch directly; at least
+            # 8 so the kernel's whole-chunk cube-quantized y test is valid
+            q = max(8, 128 // nz)
             oy = jnp.clip((bylo.astype(jnp.int32) // q) * q, 0,
                           max(((ny - wy) // q) * q, 0))
         else:
