@@ -145,9 +145,14 @@ def query(
     backend: str = "auto",
     gather_cap: int | None = None,
     gather_bcap: int | None = None,
+    tv_kernel: str = "auto",
 ):
     """Voxelize gaussians into an [nx,ny,nz] grid (reference
     render_query.py:27-77). n_voxel must be static python ints.
+
+    tv_kernel: "auto"/"lowrank" = Mehler low-rank box splat on the gather
+    fast path (one MXU matmul per block, untruncated semantics);
+    "direct" = exact reference cutoff semantics.
 
     Small-box pallas queries (the per-iteration TV loss: a random 32^3
     sub-volume) take a gather fast path: a cheap box-overlap mask selects
@@ -204,10 +209,24 @@ def query(
         xyz_sub, cov_sub, sub[9], sub[10],
         center=center, n_voxel=n_voxel, s_voxel=s_voxel, active=None,
     )
-    # gathered gaussians are Morton-local -> tight block bboxes -> small
-    # window tiers
-    vol = splat3d.voxelize_pallas(prep_sub, n_voxel=n_voxel, window_x=16,
-                                  window_y=16)
+    if (tv_kernel in ("auto", "lowrank")
+            and ny * nz <= splat3d.LR3_MAX_LANES
+            and nx <= splat3d.LR3_MAX_ROWS):
+        # Mehler low-rank box splat: the whole box is one MXU matmul per
+        # block (untruncated-gaussian semantics, like the 2D low-rank
+        # rasterizer). High x-(y,z)-correlation gaussians spill to the
+        # exact block-tier path; its weights are masked to the spill so
+        # the pass is a no-op (count 0) when nothing spills.
+        vol, spill3 = splat3d.voxelize_lowrank(prep_sub, n_voxel=n_voxel)
+        prep_spill = prep_sub._replace(
+            weight=jnp.where(spill3, prep_sub.weight, 0.0))
+        vol = vol + splat3d.voxelize_pallas(
+            prep_spill, n_voxel=n_voxel, window_x=16, window_y=16)
+    else:
+        # gathered gaussians are Morton-local -> tight block bboxes ->
+        # small window tiers
+        vol = splat3d.voxelize_pallas(prep_sub, n_voxel=n_voxel, window_x=16,
+                                      window_y=16)
 
     # The overflow branch is value-exact but non-differentiable
     # (stop_gradient operands): a lax.cond's backward materializes zero

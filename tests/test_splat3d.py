@@ -66,7 +66,8 @@ def test_query_gather_path(cap):
 
     def loss(backend, xyz, scales, rots, dens):
         vol = query(xyz, scales, rots, dens, backend=backend,
-                    gather_cap=cap, gather_bcap=8, **kw)["vol"]
+                    gather_cap=cap, gather_bcap=8, tv_kernel="direct",
+                    **kw)["vol"]
         return jnp.mean(vol * vol)
 
     prep = make_prep(xyz, scales, rots, dens, center, n_vox, s_vox)
@@ -75,7 +76,8 @@ def test_query_gather_path(cap):
         assert n_touch > cap  # overflow branch exercised
     ref = np.asarray(query(xyz, scales, rots, dens, backend="dense", **kw)["vol"])
     got = np.asarray(query(xyz, scales, rots, dens, backend="pallas",
-                           gather_cap=cap, gather_bcap=8, **kw)["vol"])
+                           gather_cap=cap, gather_bcap=8, tv_kernel="direct",
+                           **kw)["vol"])
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
     if n_touch > cap:
         # overflow is value-exact but intentionally non-differentiable for
