@@ -201,8 +201,18 @@ def query(
         touch_p = jnp.concatenate([touch, jnp.zeros((pad,), bool)])
     else:
         touch_p = touch
+    # Rotate the block visit order by a center-derived pseudo-random offset:
+    # when more gaussians touch the box than the gather capacity, the
+    # leftover (gradient-free fallback, below) is then a stochastic subset
+    # across iterations instead of always the tail of the Morton order —
+    # which is a spatial corner, so the fixed-order drop would systematically
+    # starve one region of TV gradients during early training.
+    ctr = (center if hasattr(center, "dtype")
+           else jnp.asarray(center, jnp.float32))
+    rot = jax.lax.stop_gradient(
+        (jnp.sum(jnp.abs(ctr)) * 7919.0).astype(jnp.int32))
     sub, handled = compact_lanes(comps_raw, touch_p, ocap=gather_cap,
-                                 bcap=gather_bcap)
+                                 bcap=gather_bcap, rotate=rot)
     xyz_sub = jnp.stack(sub[0:3], axis=-1)
     cov_sub = tuple(sub[3:9])
     prep_sub = voxel_preprocess(

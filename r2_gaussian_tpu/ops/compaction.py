@@ -201,15 +201,20 @@ def _take_unique_bwd(res, g):
 take_unique.defvjp(_take_unique_fwd, _take_unique_bwd)
 
 
-def compact_lanes(comps, mask, *, ocap: int, bcap: int):
+def compact_lanes(comps, mask, *, ocap: int, bcap: int, rotate: int | None = None):
     """Compact the masked lanes of an SoA component list into dense blocks.
 
     comps: list of (N,) f32 arrays, N % G == 0. mask: (N,) bool.
     ocap: output capacity (multiple of G); bcap: max source blocks visited.
+    rotate: optional (traced) block offset — blocks are visited in rotated
+      order ((idx - rotate) mod nb ascending). When the caller's fallback
+      for overflow is gradient-free (the TV query), rotation by a fresh
+      random offset each call makes the dropped set stochastic instead of
+      always the tail of the Morton order (which is a spatial corner).
 
     Returns (comps_sub, handled):
       comps_sub — list of (ocap,) arrays, the masked entries compacted in
-        order (block-major, lane order preserved); tail zeros.
+        visit order (block-major, lane order preserved); tail zeros.
       handled — (N,) bool: entries represented in comps_sub. Entries whose
         source block fell beyond bcap, or would overflow ocap, are left for
         the caller's fallback path. Blocks are never split: a source block
@@ -221,7 +226,13 @@ def compact_lanes(comps, mask, *, ocap: int, bcap: int):
     mask2 = mask.reshape(nb, G)
     bc = jnp.sum(mask2.astype(jnp.int32), axis=1)  # (nb,)
     btouch = bc > 0
-    bidx = jnp.nonzero(btouch, size=bcap, fill_value=nb)[0].astype(jnp.int32)
+    if rotate is None:
+        bidx = jnp.nonzero(btouch, size=bcap, fill_value=nb)[0].astype(jnp.int32)
+    else:
+        perm = (jnp.arange(nb, dtype=jnp.int32) + rotate) % nb
+        pos = jnp.nonzero(btouch[perm], size=bcap, fill_value=nb)[0]
+        perm_ext = jnp.concatenate([perm, jnp.full((1,), nb, jnp.int32)])
+        bidx = perm_ext[pos].astype(jnp.int32)
     bcg = jnp.where(bidx < nb, bc[jnp.minimum(bidx, nb - 1)], 0)
     offs = jnp.cumsum(bcg) - bcg  # exclusive prefix
     keep = (offs + bcg <= ocap) & (bidx < nb)  # a prefix of the real entries

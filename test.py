@@ -55,11 +55,11 @@ def save_image(path, arr, vmin=None, vmax=None):
         pass
 
 
-def evaluate_render(name, cams, xyz, scales, rots, dens, active, out_dir, backend):
-    os.makedirs(out_dir, exist_ok=True)
+def make_render_fn(cams, backend):
+    """One jitted per-view render shared across the train/test splits (the
+    splits have identical shapes, so a per-split closure would recompile)."""
 
-    @jax.jit
-    def render_one(w2c, fp):
+    def render_one(xyz, scales, rots, dens, active, w2c, fp):
         return render(
             xyz, scales, rots, dens, w2c=w2c, full_proj=fp,
             width=cams.width, height=cams.height,
@@ -67,13 +67,39 @@ def evaluate_render(name, cams, xyz, scales, rots, dens, active, out_dir, backen
             mode=cams.mode, active=active, backend=backend,
         )["render"]
 
-    imgs = []
-    for i in range(len(cams)):
-        img = np.asarray(render_one(jnp.asarray(cams.w2c[i]), jnp.asarray(cams.full_proj[i])))
-        imgs.append(img)
-        stem = osp.join(out_dir, f"{cams.image_names[i]}")
+    return jax.jit(render_one)
+
+
+def evaluate_render(name, cams, render_one, xyz, scales, rots, dens, active,
+                    out_dir):
+    """Renders every view; png+npy writes run on a small thread pool so the
+    device renders the next view while the host writes the previous one
+    (reference test.py:190-212 multithread_write)."""
+    import concurrent.futures as cf
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_one(stem, img):
         np.save(stem + ".npy", img)
         save_image(stem + ".png", img)
+
+    imgs = []
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        futures = []
+        for i in range(len(cams)):
+            img = np.asarray(render_one(
+                xyz, scales, rots, dens, active,
+                jnp.asarray(cams.w2c[i]), jnp.asarray(cams.full_proj[i])))
+            imgs.append(img)
+            stem = osp.join(out_dir, f"{cams.image_names[i]}")
+            futures.append(pool.submit(write_one, stem, img))
+        for i, fut in enumerate(futures):
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 — per-image retry once
+                print(f"write retry for view {i}: {e}")
+                img = imgs[i]
+                write_one(osp.join(out_dir, f"{cams.image_names[i]}"), img)
     imgs = np.stack(imgs)
     m = metric_proj(cams.images, imgs)
     with open(osp.join(osp.dirname(out_dir), f"eval2d_{name}.yml"), "w") as f:
@@ -145,12 +171,19 @@ def main():
 
     out_base = osp.join(model.model_path, "test", f"iter_{it:06d}")
     backend = pipe.backend
+    render_one = None
+    if scene.train_cameras is not None:
+        render_one = make_render_fn(scene.train_cameras, backend)
+    elif scene.test_cameras is not None:
+        render_one = make_render_fn(scene.test_cameras, backend)
     if not args.skip_render_train and scene.train_cameras is not None:
-        evaluate_render("render_train", scene.train_cameras, xyz, scales, rots,
-                        dens, aux.active, osp.join(out_base, "render_train"), backend)
+        evaluate_render("render_train", scene.train_cameras, render_one, xyz,
+                        scales, rots, dens, aux.active,
+                        osp.join(out_base, "render_train"))
     if not args.skip_render_test and scene.test_cameras is not None:
-        evaluate_render("render_test", scene.test_cameras, xyz, scales, rots,
-                        dens, aux.active, osp.join(out_base, "render_test"), backend)
+        evaluate_render("render_test", scene.test_cameras, render_one, xyz,
+                        scales, rots, dens, aux.active,
+                        osp.join(out_base, "render_test"))
     evaluate_volume(scene, xyz, scales, rots, dens, aux.active,
                     osp.join(out_base, "volume"), backend)
 

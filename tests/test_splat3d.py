@@ -110,3 +110,72 @@ def test_voxelize_gradients_match():
     gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3))(xyz, scales, rots, dens)
     for a, b in zip(gd, gp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+
+
+def test_gather_overflow_gradient_coverage():
+    """Quantifies the TV-gather overflow's gradient behavior (the overflow
+    fallback is value-exact but gradient-free): handled gaussians get
+    gradients matching the dense oracle, leftover gaussians get exactly
+    zero, and the rotated block visit order makes the leftover set vary
+    across box centers so every touched gaussian receives TV gradients on
+    some iterations (stochastic coverage, not a fixed Morton-order tail)."""
+    from r2_gaussian_tpu.models.render import query
+    from r2_gaussian_tpu.models.voxel_preprocess import voxel_touch_mask
+
+    xyz, scales, rots, dens = random_gaussians(900, seed=7)
+    n_vox = (32, 32, 32)
+    s_vox = jnp.asarray((1.2, 1.2, 1.2))
+    cap, bcap = 128, 8
+
+    def loss(backend, center, xyz, scales, rots, dens):
+        vol = query(xyz, scales, rots, dens, center=center, n_voxel=n_vox,
+                    s_voxel=s_vox, backend=backend, gather_cap=cap,
+                    gather_bcap=bcap, tv_kernel="direct")["vol"]
+        return jnp.mean(vol * vol)
+
+    center = jnp.asarray((0.05, 0.1, -0.15))
+    touch = np.asarray(voxel_touch_mask(
+        xyz, jnp.max(scales, axis=-1), center=center, n_voxel=n_vox,
+        s_voxel=s_vox))
+    assert touch.sum() > cap  # overflow regime
+
+    gd = jax.grad(lambda *a: loss("dense", center, *a), argnums=(0, 3))(
+        xyz, scales, rots, dens)
+    gp = jax.grad(lambda *a: loss("pallas", center, *a), argnums=(0, 3))(
+        xyz, scales, rots, dens)
+    gd_x, gp_x = np.asarray(gd[0]), np.asarray(gp[0])
+    # a gaussian is "handled" iff it received any pallas gradient
+    handled = np.abs(gp_x).sum(1) > 0
+    n_handled = int((handled & touch).sum())
+    assert 0 < n_handled <= cap
+    # handled rows match the dense oracle; leftover rows are exactly zero
+    np.testing.assert_allclose(gp_x[handled], gd_x[handled], rtol=1e-4,
+                               atol=1e-7)
+    assert np.all(gp_x[~handled] == 0.0)
+    dropped_frac = 1.0 - n_handled / int(touch.sum())
+    assert dropped_frac < 0.95  # something is always handled
+
+    # stochastic coverage: across centers the handled set rotates, so the
+    # union covers (nearly) all touched gaussians
+    # at cap = one 128-lane block of ~8 touched blocks, each draw handles
+    # ~1/8 of the population; expected coverage after d draws is
+    # 1 - (7/8)^d (0.66 at d = 8) — far above the fixed-order baseline,
+    # which would re-handle the same Morton prefix every time (~1/8)
+    union = np.zeros(900, bool)
+    always_touched = touch.copy()
+    handled_sets = set()
+    for cshift in (0.0, 0.013, 0.029, 0.047, 0.061, 0.083, 0.107, 0.131):
+        c = center + cshift
+        t = np.asarray(voxel_touch_mask(
+            xyz, jnp.max(scales, axis=-1), center=c, n_voxel=n_vox,
+            s_voxel=s_vox))
+        g = np.asarray(jax.grad(
+            lambda *a: loss("pallas", c, *a), argnums=(0,))(
+                xyz, scales, rots, dens)[0])
+        h = np.abs(g).sum(1) > 0
+        union |= h
+        handled_sets.add(h.tobytes())
+        always_touched &= t
+    covered = union[always_touched].mean() if always_touched.any() else 1.0
+    assert covered > 0.5, f"stochastic TV-gradient coverage too low: {covered}"
+    assert len(handled_sets) >= 4, "rotation is not varying the handled set"
