@@ -191,7 +191,15 @@ class Trainer:
 
     def __init__(self, cameras, scanner_cfg, opt_cfg, scale_bound, params, aux,
                  backend: str = "auto", seed: int = 0, footprint: str = "tight",
-                 kernel: str = "auto", mesh=None, shard_axis: str = "g"):
+                 kernel: str = "auto", mesh=None, shard_axis: str = "g",
+                 debug_dir: str | None = None):
+        # debug_dir: when set (the CLI --debug flag), a non-finite loss dumps
+        # the full pre-dispatch state + dispatch inputs to
+        # <debug_dir>/snapshot_fw.npz before raising — the reference's
+        # snapshot_fw.dump debug flow (rasterization.py:80-93), adapted to
+        # the fused-dispatch trainer (per-kernel dumps are meaningless under
+        # XLA fusion; the state + view/key schedule reproduces the dispatch).
+        self.debug_dir = debug_dir
         self.cameras = cameras
         self.scanner_cfg = scanner_cfg
         self.opt = opt_cfg
@@ -310,6 +318,11 @@ class Trainer:
             bool,
         )
         fn = self._get_train_fn(n_steps)
+        # the train fn donates the state buffers, so --debug must snapshot
+        # to host BEFORE the dispatch (the reference's --debug likewise
+        # syncs every kernel launch — debug mode trades speed for evidence)
+        state_host = (None if self.debug_dir is None
+                      else jax.tree.map(np.asarray, self.state))
         self.state, metrics = fn(
             self.state, jnp.asarray(views), keys, jnp.asarray(skip),
             jnp.int32(self.iteration),
@@ -320,12 +333,43 @@ class Trainer:
         # jax.block_until_ready returns before execution finishes (measured),
         # which both under-syncs and corrupts wall-clock timing.
         metrics = np.asarray(metrics)
+        if self.debug_dir is not None and not np.isfinite(metrics).all():
+            self._dump_snapshot(state_host, views, keys, skip, metrics)
         self.iteration += n_steps
 
         n_active = None
         if self._is_densify_iter(self.iteration):
             n_active = self.densify()
         return metrics, n_active
+
+    def _dump_snapshot(self, state_in, views, keys, skip, metrics):
+        """Non-finite loss under --debug: persist everything needed to
+        replay the offending dispatch, then raise (reference
+        rasterization.py:80-93 snapshot_fw.dump)."""
+        import os
+
+        os.makedirs(self.debug_dir, exist_ok=True)
+        path = os.path.join(self.debug_dir, "snapshot_fw.npz")
+        p, a = state_in.params, state_in.aux
+        np.savez_compressed(
+            path,
+            xyz=np.asarray(p.xyz), scaling=np.asarray(p.scaling),
+            rotation=np.asarray(p.rotation), density=np.asarray(p.density),
+            active=np.asarray(a.active),
+            max_radii2d=np.asarray(a.max_radii2d),
+            xyz_gradient_accum=np.asarray(a.xyz_gradient_accum),
+            denom=np.asarray(a.denom),
+            views=np.asarray(views), keys=np.asarray(keys),
+            skip=np.asarray(skip), iteration=self.iteration,
+            metrics=metrics,
+            scale_bound=np.asarray(self.scale_bound, np.float32)
+            if self.scale_bound is not None else np.zeros(0, np.float32),
+        )
+        raise FloatingPointError(
+            f"non-finite loss at iterations {self.iteration + 1}.."
+            f"{self.iteration + len(np.asarray(views))}; dispatch snapshot "
+            f"written to {path}"
+        )
 
     def densify(self):
         self._maybe_grow_capacity()

@@ -63,3 +63,69 @@ def test_eval_writes_panels_and_histogram(tmp_path):
                                "eval2d_render_train.yml"))
     assert osp.exists(osp.join(str(tmp_path), "eval", "iter_000005",
                                "eval3d.yml"))
+
+
+def test_export_ellipsoids_ply(tmp_path):
+    import numpy as np
+
+    from r2_gaussian_tpu.utils.plot_utils import export_ellipsoids_ply
+
+    rng = np.random.default_rng(0)
+    n = 64
+    q = rng.standard_normal((n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    path = str(tmp_path / "g.ply")
+    nv, nf = export_ellipsoids_ply(
+        path, rng.uniform(-1, 1, (n, 3)), rng.uniform(0.01, 0.05, (n, 3)), q,
+        rng.uniform(0.1, 1, n), active=np.ones(n, bool), subdiv=0)
+    data = open(path, "rb").read()
+    head = data[:400].decode("ascii", "ignore")
+    assert f"element vertex {nv}" in head and f"element face {nf}" in head
+    # binary payload size: 15 B/vertex (3 f32 + 3 u8), 13 B/face (u8 + 3 i32)
+    assert len(data) == head.index("end_header\n") + len("end_header\n") \
+        + nv * 15 + nf * 13
+
+
+def test_debug_snapshot_on_nonfinite(tmp_path, tiny_trainer=None):
+    """--debug dumps the dispatch inputs and raises on a non-finite loss."""
+    import numpy as np
+    import pytest
+
+    from r2_gaussian_tpu.dataset.geometry import build_cameras
+    from r2_gaussian_tpu.models.gaussians import create_from_pcd
+    from r2_gaussian_tpu.pipeline.trainer import Trainer
+    import types
+
+    scanner = dict(
+        nVoxel=[32, 32, 32], sVoxel=[2.0, 2.0, 2.0], nDetector=[32, 32],
+        sDetector=[4.0, 4.0], DSD=7.0, DSO=5.0, offOrigin=[0.0, 0.0, 0.0],
+        offDetector=[0.0, 0.0], mode="cone", dVoxel=[2.0 / 32] * 3,
+        dDetector=[4.0 / 32] * 2, accuracy=0.5, totalAngle=360.0,
+        startAngle=0.0,
+    )
+    projs = np.full((2, 32, 32), np.nan, np.float32)  # poisoned measurements
+    cams = build_cameras(np.asarray([0.0, 1.0]), projs, ["0", "1"], scanner)
+    rng = np.random.default_rng(0)
+    params, aux = create_from_pcd(
+        rng.uniform(-0.5, 0.5, (100, 3)).astype(np.float32),
+        rng.uniform(0.1, 1.0, 100).astype(np.float32), (0.001, 1.0),
+        capacity=128)
+    opt = types.SimpleNamespace(
+        iterations=100, position_lr_init=2e-4, position_lr_final=2e-5,
+        position_lr_max_steps=100, density_lr_init=1e-2, density_lr_final=1e-3,
+        density_lr_max_steps=100, scaling_lr_init=5e-3, scaling_lr_final=5e-4,
+        scaling_lr_max_steps=100, rotation_lr_init=1e-3,
+        rotation_lr_final=1e-4, rotation_lr_max_steps=100, lambda_dssim=0.25,
+        lambda_tv=0.0, tv_vol_size=8, density_min_threshold=1e-5,
+        densification_interval=50, densify_from_iter=10, densify_until_iter=0,
+        densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
+        max_screen_size=None, max_scale=None, max_num_gaussians=128,
+    )
+    tr = Trainer(cams, scanner, opt, (0.001, 1.0), params, aux,
+                 backend="dense", debug_dir=str(tmp_path))
+    with pytest.raises(FloatingPointError, match="snapshot"):
+        tr.run_chunk(2)
+    snap = np.load(tmp_path / "snapshot_fw.npz")
+    assert snap["xyz"].shape == (128, 3)
+    assert np.isfinite(snap["xyz"]).all()  # pre-dispatch state, not the NaNs
+    assert snap["views"].shape == (2,)

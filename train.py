@@ -230,6 +230,7 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
     trainer = Trainer(
         scene.train_cameras, scanner_cfg, opt, scale_bound, params, aux,
         backend=backend, footprint=pipe.footprint, mesh=mesh,
+        debug_dir=scene.model_path if pipe.debug else None,
     )
     if start_checkpoint:
         state, it, sb = load_checkpoint(start_checkpoint)
