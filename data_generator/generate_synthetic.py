@@ -17,6 +17,10 @@ import yaml
 
 sys.path.append(osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
+
 from r2_gaussian_tpu.ops import phantom as phantom_mod
 from r2_gaussian_tpu.ops.projector import add_ct_noise, project
 

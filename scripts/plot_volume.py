@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
+
 from r2_gaussian_tpu.utils.plot_utils import save_slice_grid
 
 

@@ -14,6 +14,10 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
+
 from r2_gaussian_tpu.dataset.scene import Scene
 from r2_gaussian_tpu.ops.classical import recon_volume
 from r2_gaussian_tpu.ops.projector import project
