@@ -148,10 +148,15 @@ def _voxel_chunk(
 
 
 def voxelize_dense(
-    prep: VoxelPreprocessed, *, n_voxel, gaussian_chunk: int = 4096
+    prep: VoxelPreprocessed, *, n_voxel, gaussian_chunk: int = 4096,
+    voxel_chunk: int = 262144
 ) -> jnp.ndarray:
     """Voxelize into an [nx, ny, nz] grid by brute force (output layout
-    [x][y][z], matching cuda_voxelizer/forward.cu:204)."""
+    [x][y][z], matching cuda_voxelizer/forward.cu:204). Chunked over BOTH
+    gaussians and voxels so the [V, N] pair grid stays bounded — a full
+    256^3 query over 50k gaussians would otherwise materialize hundreds of
+    GB (the voxel loop is a lax.map, so peak memory is one
+    voxel_chunk x gaussian_chunk tile)."""
     nx, ny, nz = int(n_voxel[0]), int(n_voxel[1]), int(n_voxel[2])
     ix = jnp.arange(nx, dtype=jnp.float32) + 0.5
     iy = jnp.arange(ny, dtype=jnp.float32) + 0.5
@@ -161,9 +166,10 @@ def voxelize_dense(
     vz = jnp.tile(iz, nx * ny)
 
     n = prep.center_vox.shape[0]
-    if n <= gaussian_chunk:
-        vol = _voxel_chunk(prep, vx, vy, vz)
-    else:
+
+    def all_gaussians(vx, vy, vz):
+        if n <= gaussian_chunk:
+            return _voxel_chunk(prep, vx, vy, vz)
         pad = (-n) % gaussian_chunk
         padded = jax.tree.map(
             lambda a: jnp.concatenate(
@@ -176,4 +182,18 @@ def voxelize_dense(
             return carry + _voxel_chunk(chunk, vx, vy, vz), None
 
         vol, _ = jax.lax.scan(body, jnp.zeros_like(vx), padded)
+        return vol
+
+    nvox = vx.shape[0]
+    if nvox <= voxel_chunk:
+        vol = all_gaussians(vx, vy, vz)
+    else:
+        vpad = (-nvox) % voxel_chunk
+        def padv(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((vpad,), a.dtype)]).reshape(-1, voxel_chunk)
+
+        vol = jax.lax.map(
+            lambda args: all_gaussians(*args), (padv(vx), padv(vy), padv(vz))
+        ).reshape(-1)[:nvox]
     return vol.reshape(nx, ny, nz)
