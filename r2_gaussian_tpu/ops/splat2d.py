@@ -27,6 +27,7 @@ lane/sublane-natural on the VPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -177,22 +178,10 @@ def _mask_unvisited_rows(out, ids):
 # ~30 ms/iter at nb=4096. The fused grid is nb steps total.
 
 
-def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
-                      out_ref, img, *, tiers, height, width, nsteps):
-    i = pl.program_id(0)
+def _direct_fwd_body(data, ox, oy, t, img, *, tiers, width):
+    mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data)
 
-    @pl.when(i == 0)
-    def _():
-        img[...] = jnp.zeros_like(img)
-
-    @pl.when(i < count_ref[0])
-    def _():
-        packed = origin_ref[i]
-        ox = packed & 0xFFFF
-        oy = pl.multiple_of(packed >> 16, 8)
-        mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
-        t = tsel_ref[i]
-
+    if True:
         for ti, (wh, ww) in enumerate(tiers):
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
@@ -231,24 +220,33 @@ def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 else:
                     jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
 
-    @pl.when(i == nsteps - 1)
-    def _():
-        out_ref[...] = img[...]
 
-
-def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
-                      gimg_ref, dout_ref, *, tiers, height, width):
+def _fwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                      out_ref, img, *, tiers, height, width, nsteps):
     i = pl.program_id(0)
-    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        img[...] = jnp.zeros_like(img)
 
     @pl.when(i < count_ref[0])
     def _():
         packed = origin_ref[i]
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
-        mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data_ref[0])
-        t = tsel_ref[i]
+        _direct_fwd_body(data_ref[0], ox, oy, tsel_ref[i], img, tiers=tiers,
+                         width=width)
 
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[...] = img[...]
+
+
+def _direct_bwd_body(data, ox, oy, t, gimg_ref, dout_ref, row, *, tiers,
+                     width):
+    mx, my, cxx, cxy, cyy, w, xlo, xhi, ylo, yhi = _unpack_features(data)
+
+    if True:
         for ti, (wh, ww) in enumerate(tiers):
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
@@ -297,10 +295,24 @@ def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 else:
                     acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
                 dmx, dmy, dcxx, dcxy, dcyy, dw = acc
-                dout_ref[0] = jnp.concatenate(
+                dout_ref[row] = jnp.concatenate(
                     [dmx, dmy, dcxx, dcxy, dcyy, dw, zeros, zeros, zeros, zeros],
                     axis=0,
                 )
+
+
+def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                      gimg_ref, dout_ref, *, tiers, height, width):
+    i = pl.program_id(0)
+    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        packed = origin_ref[i]
+        ox = packed & 0xFFFF
+        oy = pl.multiple_of(packed >> 16, 8)
+        _direct_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dout_ref,
+                         0, tiers=tiers, width=width)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -474,22 +486,8 @@ def _he_series(xh, ex, dcols, coeffs=None):
     return d_xh, dc
 
 
-def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
-                         out_ref, img, *, tiers, height, width, nsteps):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        img[...] = jnp.zeros_like(img)
-
-    @pl.when(i < count_ref[0])
-    def _():
-        packed = origin_ref[i]
-        ox = packed & 0xFFFF
-        oy = pl.multiple_of(packed >> 16, 8)
-        d = data_ref[0]
-        t = tsel_ref[i]
-
+def _lr_fwd_body(d, ox, oy, t, img, *, tiers, width):
+    if True:
         for ti, (wh, ww) in enumerate(tiers):
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
@@ -520,27 +518,35 @@ def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                 else:
                     jax.lax.fori_loop(0, n_chunks, one_chunk, 0)
 
-    @pl.when(i == nsteps - 1)
-    def _():
-        out_ref[...] = img[...]
 
-
-def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
-                         gimg_ref, dout_ref, du_scr, *, tiers, height,
-                         width):
+def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                         out_ref, img, *, tiers, height, width, nsteps):
     i = pl.program_id(0)
-    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        img[...] = jnp.zeros_like(img)
 
     @pl.when(i < count_ref[0])
     def _():
         packed = origin_ref[i]
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
-        d = data_ref[0]
-        mx, my = d[0:1], d[1:2]
-        kxs, kys, rho, wp = d[2:3], d[3:4], d[4:5], d[5:6]
-        t = tsel_ref[i]
+        _lr_fwd_body(data_ref[0], ox, oy, tsel_ref[i], img, tiers=tiers,
+                     width=width)
 
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[...] = img[...]
+
+
+def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
+                 width):
+    mx, my = d[0:1], d[1:2]
+    kxs, kys, rho, wp = d[2:3], d[3:4], d[4:5], d[5:6]
+    del mx, my
+
+    if True:
         for ti, (wh, ww) in enumerate(tiers):
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
@@ -605,10 +611,25 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                     dwp = dwp + dc[k] * rks[k]
                     if k > 0:
                         drho = drho + dc[k] * wp * rks[k - 1]
-                dout_ref[0] = jnp.concatenate(
+                dout_ref[row] = jnp.concatenate(
                     [dmx, dmy, dkx, dky, drho, dwp, zeros, zeros, zeros, zeros],
                     axis=0,
                 )
+
+
+def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                         gimg_ref, dout_ref, du_scr, *, tiers, height,
+                         width):
+    i = pl.program_id(0)
+    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        packed = origin_ref[i]
+        ox = packed & 0xFFFF
+        oy = pl.multiple_of(packed >> 16, 8)
+        _lr_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dout_ref,
+                     du_scr, 0, tiers=tiers, width=width)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -670,6 +691,149 @@ def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
 
 
 _splat_multi_lr.defvjp(_splat_multi_lr_fwd, _splat_multi_lr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched-step variants: one contiguous (BATCH, NF, gg) data block per grid
+# step, visiting blocks in natural (Morton) order with a per-sub-block tier
+# skip (tsel == len(tiers) means not assigned). Amortizes the measured
+# ~0.61 us/grid-step Pallas floor over BATCH blocks without the failure
+# modes of the ids-indexed pairing attempt (per-sub-block index maps and
+# dual gradient outputs — see ARCHITECTURE.md round-2 findings). The
+# backward writes a (BATCH, NF, gg) row group per step with skipped rows
+# zero-initialized, so no unvisited-row masking pass is needed.
+# Opt-in via R2G_SPLAT_BATCH=<B> until measured faster on hardware.
+
+SPLAT_BATCH = int(os.environ.get("R2G_SPLAT_BATCH", "0"))
+
+
+def _fwd_kernel_b(origin_ref, tsel_ref, data_ref, out_ref, img, *, tiers,
+                  width, nsteps, batch, lr):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        img[...] = jnp.zeros_like(img)
+
+    nt = len(tiers)
+    for j in range(batch):
+        t = tsel_ref[i * batch + j]
+
+        @pl.when(t < nt)
+        def _(j=j, t=t):
+            packed = origin_ref[i * batch + j]
+            ox = packed & 0xFFFF
+            oy = pl.multiple_of(packed >> 16, 8)
+            if lr:
+                _lr_fwd_body(data_ref[j], ox, oy, t, img, tiers=tiers,
+                             width=width)
+            else:
+                _direct_fwd_body(data_ref[j], ox, oy, t, img, tiers=tiers,
+                                 width=width)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        out_ref[...] = img[...]
+
+
+def _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref, du_scr,
+                  *, tiers, width, batch, lr):
+    i = pl.program_id(0)
+    dout_ref[...] = jnp.zeros(dout_ref.shape, jnp.float32)
+
+    nt = len(tiers)
+    for j in range(batch):
+        t = tsel_ref[i * batch + j]
+
+        @pl.when(t < nt)
+        def _(j=j, t=t):
+            packed = origin_ref[i * batch + j]
+            ox = packed & 0xFFFF
+            oy = pl.multiple_of(packed >> 16, 8)
+            if lr:
+                _lr_bwd_body(data_ref[j], ox, oy, t, gimg_ref, dout_ref,
+                             du_scr, j, tiers=tiers, width=width)
+            else:
+                _direct_bwd_body(data_ref[j], ox, oy, t, gimg_ref, dout_ref,
+                                 j, tiers=tiers, width=width)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _splat_multi_b(kdata, origins, tsel, height, width, tiers, lr, batch):
+    """Batched fused multi-tier splat. kdata: [NBP, NF, gg] (NBP a multiple
+    of batch; skipped rows have tsel == len(tiers))."""
+    return _splat_b_fwd_impl(kdata, origins, tsel, height, width, tiers, lr,
+                             batch)
+
+
+def _splat_b_fwd_impl(kdata, origins, tsel, height, width, tiers, lr, batch):
+    nbp, _, gg = kdata.shape
+    assert nbp % batch == 0
+    nsteps = nbp // batch
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((batch, NF, gg), lambda i, o, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((height, width), lambda i, o, t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((height, width), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_b, tiers=tiers, width=width,
+                          nsteps=nsteps, batch=batch, lr=lr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(origins, tsel, kdata)
+
+
+def _splat_b_fwd(kdata, origins, tsel, height, width, tiers, lr, batch):
+    img = _splat_b_fwd_impl(kdata, origins, tsel, height, width, tiers, lr,
+                            batch)
+    return img, (kdata, origins, tsel)
+
+
+def _splat_b_bwd(height, width, tiers, lr, batch, res, gimg):
+    kdata, origins, tsel = res
+    nbp, _, gg = kdata.shape
+    nsteps = nbp // batch
+    max_ww = max(ww for _, ww in tiers)
+    scratch = [pltpu.VMEM((max_ww, K_LR * gg), jnp.float32)] if lr else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((batch, NF, gg), lambda i, o, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((height, width), lambda i, o, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, NF, gg), lambda i, o, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+
+    def kernel(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref,
+               *maybe_scr):
+        du_scr = maybe_scr[0] if lr else None
+        _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref,
+                      du_scr, tiers=tiers, width=width, batch=batch, lr=lr)
+
+    dkdata = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbp, NF, gg), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(origins, tsel, kdata, gimg)
+    return dkdata, None, None
+
+
+_splat_multi_b.defvjp(_splat_b_fwd, _splat_b_bwd)
 
 
 def _rc_lr(wh: int) -> int:
@@ -781,7 +945,7 @@ def _dense_fallback(comps, idx, count, height, width, chunk: int):
 
 
 def _run_tiers(multi_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
-               height, width, aux, tag):
+               height, width, aux, tag, lr=False):
     """Assign candidate blocks to the smallest fitting window tier and run
     ONE fused multi-tier kernel over all assigned blocks. Returns
     (image-or-None, assigned)."""
@@ -804,6 +968,26 @@ def _run_tiers(multi_fn, kdata, tiers, candidates, bxlo, bxhi, bylo, byhi,
         origin = jnp.where(mine, ox | (oy << 16), origin)
         if aux is not None:
             aux[f"{tag}tier{ti}_blocks"] = jnp.sum(mine.astype(jnp.int32))
+    if SPLAT_BATCH > 0:
+        # batched-step path: visit blocks in natural order (no ids
+        # compaction — unassigned blocks carry tsel == nt and are skipped
+        # in-kernel); pad the block count to a batch multiple
+        b = SPLAT_BATCH
+        padn = (-nb) % b
+        kd = kdata[:nb]
+        tsel_b = tier_of
+        origin_b = origin
+        if padn:
+            kd = jnp.concatenate(
+                [kd, jnp.zeros((padn,) + kd.shape[1:], kd.dtype)], 0)
+            tsel_b = jnp.concatenate(
+                [tsel_b, jnp.full((padn,), nt, jnp.int32)])
+            origin_b = jnp.concatenate([origin_b, jnp.zeros((padn,), jnp.int32)])
+        img = _splat_multi_b(
+            kd, jax.lax.stop_gradient(origin_b),
+            jax.lax.stop_gradient(tsel_b), height, width, tuple(tiers), lr, b,
+        )
+        return img, assigned
     ids = jnp.nonzero(assigned, size=nb, fill_value=nb)[0].astype(jnp.int32)
     safe = jnp.minimum(ids, nb - 1)
     origins = jnp.where(ids < nb, origin[safe], 0).astype(jnp.int32)
@@ -898,7 +1082,7 @@ def render_pallas(
                                                                gg)
         img, assigned_lr = _run_tiers(
             _splat_multi_lr, kdata_lr, tiers, lhas,
-            lxlo, lxhi, lylo, lyhi, height, width, aux, "lr_",
+            lxlo, lxhi, lylo, lyhi, height, width, aux, "lr_", lr=True,
         )
         # leftovers of the low-rank path fall back via the DIRECT features
         # (exact cutoff semantics) — same gaussians, spilled ones excluded
