@@ -94,3 +94,34 @@ def test_gradients_match_dense():
     )
     for a, b in zip(gd, gp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+
+
+def test_batched_step_path_matches_dense(monkeypatch):
+    """The opt-in batched-step kernels (R2G_SPLAT_BATCH) produce the same
+    values and gradients as the dense oracle (and hence as the legacy
+    ids-compacted path, which the other tests cover)."""
+    import r2_gaussian_tpu.ops.splat2d as s2
+
+    monkeypatch.setattr(s2, "SPLAT_BATCH", 2)
+    cams = make_cams(mode="cone")
+    w, h = cams.width, cams.height
+    xyz, scales, rots, dens = random_gaussians(300, seed=13)
+    prep = prep_for(cams, xyz, scales, rots, dens)
+    ref = np.asarray(render_dense(prep, width=w, height=h))
+    got = np.asarray(s2.render_pallas(prep, width=w, height=h,
+                                      kernel="direct"))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    def loss(fn, xyz, scales, rots, dens):
+        p = prep_for(cams, xyz, scales, rots, dens)
+        img = (render_dense(p, width=w, height=h) if fn == "dense"
+               else s2.render_pallas(p, width=w, height=h, kernel="direct"))
+        return jnp.mean(jnp.abs(img - 0.1))
+
+    gd = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 3))(
+        xyz, scales, rots, dens)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 3))(
+        xyz, scales, rots, dens)
+    for a, b in zip(gd, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-7)
