@@ -238,3 +238,20 @@ def resort_spatial(params: GaussianParams, adam: AdamState, aux: GaussianAux,
             denom=aux.denom[order],
         ),
     )
+
+
+def reset_density(params, adam: AdamState, cap: float = 1.0):
+    """Clamp activated densities to <= cap and zero the density optimizer
+    moments (reference gaussian_model.py:283-291 reset_density +
+    replace_tensor_to_optimizer). Defined for API parity — like the
+    reference, the default training loop never calls it; it is the standard
+    3DGS opacity-reset tool adapted to the softplus density activation."""
+    from ..models.gaussians import inverse_softplus, softplus
+
+    new_raw = inverse_softplus(jnp.minimum(softplus(params.density), cap))
+    params = params._replace(density=new_raw)
+    adam = adam._replace(
+        m=adam.m._replace(density=jnp.zeros_like(adam.m.density)),
+        v=adam.v._replace(density=jnp.zeros_like(adam.v.density)),
+    )
+    return params, adam

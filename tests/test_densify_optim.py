@@ -161,3 +161,28 @@ def test_expon_lr_delay_warmup():
     expect = (0.1 + 0.9 * np.sin(0.5 * np.pi * 0.5)) * float(
         expon_lr(5, 1e-2, 1e-3, 100))
     assert lr5 == pytest.approx(expect, rel=1e-5)
+
+
+def test_reset_density():
+    import numpy as np
+
+    from r2_gaussian_tpu.pipeline.densify import reset_density
+
+    params, _adam, _aux = make_state(12)
+    rng = np.random.default_rng(3)
+    params = params._replace(density=jnp.asarray(
+        rng.uniform(-2.0, 3.0, params.density.shape).astype(np.float32)))
+    adam = init_adam(params)
+    adam = adam._replace(m=adam.m._replace(
+        density=jnp.ones_like(adam.m.density)))
+    p2, a2 = reset_density(params, adam, cap=0.5)
+    act = np.asarray(softplus(p2.density))
+    assert act.max() <= 0.5 + 1e-5
+    # untouched where already below the cap
+    before = np.asarray(softplus(params.density))
+    keep = before <= 0.5
+    np.testing.assert_allclose(act[keep], before[keep], rtol=1e-5)
+    assert np.all(np.asarray(a2.m.density) == 0.0)
+    # other groups' moments untouched
+    np.testing.assert_array_equal(np.asarray(a2.m.xyz),
+                                  np.asarray(adam.m.xyz))
