@@ -151,3 +151,22 @@ def test_tv_box_lowrank_vs_dense():
     )(prep))
     np.testing.assert_allclose(direct, ref, rtol=1e-4,
                                atol=1e-5 * max(ref.max(), 1.0))
+
+
+def test_batched_step_path_on_tpu(monkeypatch):
+    """The R2G_SPLAT_BATCH batched-step path lowers through real Mosaic and
+    matches the legacy path bit-for-bit (same bodies, same math, different
+    step scheduling)."""
+    xyz, scales, rots, dens = make_population(n=8192, seed=11)
+    prep = make_prep(xyz, scales, rots, dens)
+    legacy = np.asarray(jax.jit(
+        lambda p: splat2d.render_pallas(p, width=W, height=H, kernel="auto")
+    )(prep))
+    monkeypatch.setattr(splat2d, "SPLAT_BATCH", 4)
+    batched = np.asarray(jax.jit(
+        lambda p: splat2d.render_pallas(p, width=W, height=H, kernel="auto")
+    )(prep))
+    # identical per-block math; only the f32 accumulation order of block
+    # patches into the image differs
+    np.testing.assert_allclose(batched, legacy, rtol=1e-5,
+                               atol=1e-6 * max(legacy.max(), 1.0))
