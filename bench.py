@@ -76,7 +76,61 @@ def load_or_make(det, n_views, vol_size, n_points):
     return vol, angles, projs, scanner, pts
 
 
+def probe_backend(attempts=None, probe_timeout=None):
+    """Check the JAX backend comes up, in a subprocess with a hard timeout.
+
+    The tunneled TPU backend can HANG jax.devices() (not just raise) when
+    the tunnel is down, and init errors of the UNAVAILABLE class are often
+    transient — so probe out-of-process with retries + backoff. Returns the
+    platform string ("tpu"/"cpu"/...) or None if the backend never came up.
+    """
+    import subprocess
+
+    attempts = attempts or int(os.environ.get("BENCH_PROBE_ATTEMPTS", 4))
+    probe_timeout = probe_timeout or int(
+        os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+    last_err = ""
+    for attempt in range(attempts):
+        try:
+            # mirror the main process's platform selection: sitecustomize
+            # bakes the axon platform into jax.config at interpreter start,
+            # so a bare JAX_PLATFORMS env var would NOT steer the probe —
+            # setup_jax_cache() re-applies it (utils/runtime.py)
+            probe_code = (
+                "import sys; sys.path.insert(0, "
+                f"{osp.dirname(osp.abspath(__file__))!r}); "
+                "from r2_gaussian_tpu.utils.runtime import setup_jax_cache; "
+                "setup_jax_cache(); "
+                "import jax; print(jax.devices()[0].platform)"
+            )
+            r = subprocess.run(
+                [sys.executable, "-c", probe_code],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            last_err = (r.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            last_err = last_err[0]
+        except subprocess.TimeoutExpired:
+            last_err = f"jax.devices() hung >{probe_timeout}s (tunnel down?)"
+        if attempt < attempts - 1:
+            wait = 15 * (attempt + 1)
+            print(f"backend probe failed ({last_err}); retry in {wait}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait)
+    print(json.dumps({
+        "metric": "train_iters_per_sec", "value": None, "unit": "it/s",
+        "vs_baseline": None, "skipped": True,
+        "reason": f"JAX backend unavailable after {attempts} probes: "
+                  f"{last_err[:300]}",
+    }))
+    return None
+
+
 def main():
+    platform = probe_backend()
+    if platform is None:
+        return  # structured skip JSON already printed; exit 0
+
     from r2_gaussian_tpu.utils.runtime import setup_jax_cache
 
     setup_jax_cache()
@@ -167,4 +221,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — driver parses stdout; always emit JSON
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "train_iters_per_sec", "value": None, "unit": "it/s",
+            "vs_baseline": None, "skipped": True,
+            "reason": f"{type(e).__name__}: {str(e)[:300]}",
+        }))

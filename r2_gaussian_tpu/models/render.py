@@ -87,6 +87,66 @@ def render(
     return {"render": image, "radii": prep.radius, "prep": prep}
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "mode", "backend", "footprint",
+                     "kernel"),
+)
+def _render_views_jit(xyz, scales, rotations, densities, active, w2cs,
+                      full_projs, tanfovx, tanfovy, *, width, height, mode,
+                      backend, footprint, kernel):
+    def one(_, mats):
+        w2c, fp = mats
+        img = render(
+            xyz, scales, rotations, densities, w2c=w2c, full_proj=fp,
+            width=width, height=height, tanfovx=tanfovx, tanfovy=tanfovy,
+            mode=mode, active=active, backend=backend, footprint=footprint,
+            kernel=kernel,
+        )["render"]
+        return None, img
+
+    _, imgs = jax.lax.scan(one, None, (w2cs, full_projs))
+    return imgs
+
+
+def render_views(xyz, scales, rotations, densities, cams, *, active=None,
+                 backend: str = "auto", chunk: int = 25,
+                 footprint: str = "tile", kernel: str = "direct"):
+    """Render every view of a camera stack in chunked multi-view dispatches.
+
+    The eval/test path used to dispatch one view at a time, paying a host
+    sync (and, on the tunneled TPU, round-trip latency) per view — ~100x for
+    the reference's test protocol. Here a lax.scan renders `chunk` views per
+    dispatch; the last chunk is padded by repeating the final view so every
+    dispatch shares one compiled shape. Dimensions are taken from `cams`
+    itself, so distinct splits never share a stale closure (each distinct
+    (width, height, mode) combination gets its own jit cache entry).
+
+    Returns a numpy array [n_views, H, W].
+    """
+    import numpy as np
+
+    n_views = len(cams)
+    backend = _resolve_backend(backend)
+    chunk = max(1, min(chunk, n_views))
+    w2cs = np.asarray(cams.w2c, np.float32)
+    fps = np.asarray(cams.full_proj, np.float32)
+    pad = (-n_views) % chunk
+    if pad:
+        w2cs = np.concatenate([w2cs, np.repeat(w2cs[-1:], pad, axis=0)])
+        fps = np.concatenate([fps, np.repeat(fps[-1:], pad, axis=0)])
+    out = []
+    for i in range(0, n_views + pad, chunk):
+        out.append(np.asarray(_render_views_jit(
+            xyz, scales, rotations, densities, active,
+            jnp.asarray(w2cs[i:i + chunk]), jnp.asarray(fps[i:i + chunk]),
+            cams.tanfovx, cams.tanfovy,
+            width=cams.width, height=cams.height, mode=cams.mode,
+            backend=backend, footprint=footprint, kernel=kernel,
+        )))
+    return np.concatenate(out, axis=0)[:n_views]
+
+
 def query_volume(
     xyz,
     scales,

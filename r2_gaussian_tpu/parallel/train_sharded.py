@@ -95,11 +95,17 @@ def tiny_problem(n_gauss: int, det: int = 32, n_views: int = 4, seed: int = 0):
     return cams, scanner, opt, scale_bound, params, aux
 
 
-def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32) -> float:
+def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32,
+           backend: str = "pallas") -> float:
     """Build an n-device mesh and run the FULL sharded training step — the
     production Trainer's jitted shard_map body (render + TV-query psum,
     densification stats, skip flags, shared Adam) — for one dispatch chunk
-    that crosses a densification event, on tiny shapes."""
+    that crosses a densification event, on tiny shapes.
+
+    backend defaults to "pallas" so the driver-checked multi-chip artifact
+    lowers the actual production splat kernels under shard_map (interpret
+    mode on the virtual CPU mesh), not just the dense oracle path.
+    """
     from ..pipeline.trainer import Trainer
 
     mesh = make_mesh(n_devices)
@@ -108,7 +114,7 @@ def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32) -> float:
     cams, scanner, opt, scale_bound, params, aux = tiny_problem(n, det=det)
     trainer = Trainer(
         cams, scanner, opt, scale_bound, params, aux,
-        backend="dense", mesh=mesh,
+        backend=backend, mesh=mesh,
     )
     # 8 iterations: crosses the iter-4 densify boundary -> exercises the
     # sharded step, the replicate->densify->reshard path, and a second

@@ -226,9 +226,17 @@ class Trainer:
 
             self.state = shard_train_state(self.state, mesh, shard_axis)
         self.iteration = 0
-        self.rng = np.random.default_rng(seed)
-        self.key = jax.random.PRNGKey(seed)
-        self._view_stack: list[int] = []
+        # All per-iteration randomness (view choice, TV-box placement,
+        # densify split sampling) is derived from (seed, iteration) rather
+        # than a stateful stream: checkpoint resume reproduces the
+        # uninterrupted trajectory exactly, and the trajectory is
+        # independent of how the caller chunks run_chunk dispatches.
+        # (The reference's .pth checkpoints do NOT capture python/torch RNG
+        # state, so its resumes silently change the random stream.)
+        self.seed = int(seed)
+        self.key0 = jax.random.PRNGKey(seed)
+        self._perm_epoch = -1
+        self._perm: np.ndarray | None = None
         self._train_fns: dict[int, callable] = {}
 
         off = np.asarray(scanner_cfg["offOrigin"], np.float64)
@@ -254,16 +262,23 @@ class Trainer:
             ),
         )
 
-    # -- view order, matching the reference's shuffled-stack sampling ------
+    # -- view order: a fresh uniform permutation per epoch, derived from
+    # (seed, epoch). Distributionally identical to the reference's
+    # refillable shuffled-stack sampling (train.py:104-106: popping a
+    # uniformly random index each iteration IS a uniform random permutation
+    # per refill), but reproducible from the iteration counter alone.
     def _next_views(self, k: int) -> np.ndarray:
-        out = []
-        for _ in range(k):
-            if not self._view_stack:
-                self._view_stack = list(range(len(self.cameras)))
-            out.append(
-                self._view_stack.pop(self.rng.integers(0, len(self._view_stack)))
-            )
-        return np.asarray(out, np.int32)
+        n = len(self.cameras)
+        out = np.empty(k, np.int32)
+        for j in range(k):
+            epoch, pos = divmod(self.iteration + j, n)
+            if epoch != self._perm_epoch:
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, epoch]))
+                self._perm = rng.permutation(n)
+                self._perm_epoch = epoch
+            out[j] = self._perm[pos]
+        return out
 
     def _get_train_fn(self, steps: int):
         key = (steps, self.state.params.capacity)
@@ -308,8 +323,10 @@ class Trainer:
         """Run n_steps iterations in one fused dispatch; apply a
         densification event afterwards if the last iteration triggers one."""
         views = self._next_views(n_steps)
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, n_steps)
+        # per-iteration key = fold_in(key0, global_iter): independent of
+        # dispatch chunking and exactly reproducible on checkpoint resume
+        keys = jax.vmap(lambda i: jax.random.fold_in(self.key0, i))(
+            jnp.arange(self.iteration, self.iteration + n_steps))
         its = self.iteration + 1 + np.arange(n_steps)
         # torch leaves grads None on densify iters and skips the final
         # iteration's step (train.py:174-177)
@@ -373,7 +390,9 @@ class Trainer:
 
     def densify(self):
         self._maybe_grow_capacity()
-        self.key, sub = jax.random.split(self.key)
+        # distinct stream from the step keys: extra fold_in salt
+        sub = jax.random.fold_in(
+            jax.random.fold_in(self.key0, self.iteration), 0x64656E)
         state = self.state
         if self.mesh is not None:
             # Densification is global (budget cumsum + compaction sort over

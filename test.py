@@ -20,12 +20,11 @@ import jax
 from r2_gaussian_tpu.utils.runtime import setup_jax_cache
 
 setup_jax_cache()
-import jax.numpy as jnp
 import yaml
 
 from r2_gaussian_tpu.dataset.scene import Scene
 from r2_gaussian_tpu.models.gaussians import activate, load_point_cloud
-from r2_gaussian_tpu.models.render import query_volume, render
+from r2_gaussian_tpu.models.render import query_volume
 from r2_gaussian_tpu.pipeline.config import (
     ModelParams,
     PipelineParams,
@@ -55,27 +54,15 @@ def save_image(path, arr, vmin=None, vmax=None):
         pass
 
 
-def make_render_fn(cams, backend):
-    """One jitted per-view render shared across the train/test splits (the
-    splits have identical shapes, so a per-split closure would recompile)."""
-
-    def render_one(xyz, scales, rots, dens, active, w2c, fp):
-        return render(
-            xyz, scales, rots, dens, w2c=w2c, full_proj=fp,
-            width=cams.width, height=cams.height,
-            tanfovx=cams.tanfovx, tanfovy=cams.tanfovy,
-            mode=cams.mode, active=active, backend=backend,
-        )["render"]
-
-    return jax.jit(render_one)
-
-
-def evaluate_render(name, cams, render_one, xyz, scales, rots, dens, active,
-                    out_dir):
-    """Renders every view; png+npy writes run on a small thread pool so the
-    device renders the next view while the host writes the previous one
-    (reference test.py:190-212 multithread_write)."""
+def evaluate_render(name, cams, xyz, scales, rots, dens, active, out_dir,
+                    backend):
+    """Renders every view in chunked multi-view dispatches (one lax.scan
+    dispatch per 25 views — the old per-view dispatch paid ~100 host syncs
+    for the reference's test protocol); png+npy writes then run on a thread
+    pool (reference test.py:190-212 multithread_write)."""
     import concurrent.futures as cf
+
+    from r2_gaussian_tpu.models.render import render_views
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -83,24 +70,20 @@ def evaluate_render(name, cams, render_one, xyz, scales, rots, dens, active,
         np.save(stem + ".npy", img)
         save_image(stem + ".png", img)
 
-    imgs = []
+    imgs = render_views(xyz, scales, rots, dens, cams, active=active,
+                        backend=backend)
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
-        futures = []
-        for i in range(len(cams)):
-            img = np.asarray(render_one(
-                xyz, scales, rots, dens, active,
-                jnp.asarray(cams.w2c[i]), jnp.asarray(cams.full_proj[i])))
-            imgs.append(img)
-            stem = osp.join(out_dir, f"{cams.image_names[i]}")
-            futures.append(pool.submit(write_one, stem, img))
+        futures = [
+            pool.submit(write_one, osp.join(out_dir, f"{cams.image_names[i]}"),
+                        imgs[i])
+            for i in range(len(cams))
+        ]
         for i, fut in enumerate(futures):
             try:
                 fut.result()
             except Exception as e:  # noqa: BLE001 — per-image retry once
                 print(f"write retry for view {i}: {e}")
-                img = imgs[i]
-                write_one(osp.join(out_dir, f"{cams.image_names[i]}"), img)
-    imgs = np.stack(imgs)
+                write_one(osp.join(out_dir, f"{cams.image_names[i]}"), imgs[i])
     m = metric_proj(cams.images, imgs)
     with open(osp.join(osp.dirname(out_dir), f"eval2d_{name}.yml"), "w") as f:
         yaml.dump(
@@ -171,19 +154,14 @@ def main():
 
     out_base = osp.join(model.model_path, "test", f"iter_{it:06d}")
     backend = pipe.backend
-    render_one = None
-    if scene.train_cameras is not None:
-        render_one = make_render_fn(scene.train_cameras, backend)
-    elif scene.test_cameras is not None:
-        render_one = make_render_fn(scene.test_cameras, backend)
     if not args.skip_render_train and scene.train_cameras is not None:
-        evaluate_render("render_train", scene.train_cameras, render_one, xyz,
+        evaluate_render("render_train", scene.train_cameras, xyz,
                         scales, rots, dens, aux.active,
-                        osp.join(out_base, "render_train"))
+                        osp.join(out_base, "render_train"), backend)
     if not args.skip_render_test and scene.test_cameras is not None:
-        evaluate_render("render_test", scene.test_cameras, render_one, xyz,
+        evaluate_render("render_test", scene.test_cameras, xyz,
                         scales, rots, dens, aux.active,
-                        osp.join(out_base, "render_test"))
+                        osp.join(out_base, "render_test"), backend)
     evaluate_volume(scene, xyz, scales, rots, dens, aux.active,
                     osp.join(out_base, "volume"), backend)
 

@@ -129,3 +129,47 @@ def test_debug_snapshot_on_nonfinite(tmp_path, tiny_trainer=None):
     assert snap["xyz"].shape == (128, 3)
     assert np.isfinite(snap["xyz"]).all()  # pre-dispatch state, not the NaNs
     assert snap["views"].shape == (2,)
+
+
+def test_render_views_matches_per_view():
+    """The chunked multi-view eval dispatch (models/render.py:render_views)
+    must reproduce per-view render() exactly, including the padded last
+    chunk (7 views, chunk=3 -> pad 2)."""
+    import jax.numpy as jnp
+
+    from r2_gaussian_tpu.dataset.geometry import build_cameras
+    from r2_gaussian_tpu.models.render import render, render_views
+
+    det = 24
+    scanner = {
+        "mode": "cone", "DSD": 7.0, "DSO": 5.0,
+        "nDetector": [det, det], "sDetector": [4.0, 4.0],
+        "nVoxel": [24] * 3, "sVoxel": [2.0] * 3,
+        "dVoxel": [2.0 / 24] * 3,
+        "offOrigin": [0.0, 0.0, 0.0], "offDetector": [0.0, 0.0],
+    }
+    n_views = 7
+    angles = np.linspace(0, 2 * np.pi, n_views + 1)[:-1]
+    cams = build_cameras(angles, np.zeros((n_views, det, det), np.float32),
+                         [str(i) for i in range(n_views)], scanner)
+    rng = np.random.default_rng(2)
+    n = 128
+    xyz = jnp.asarray(rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.02, 0.08, (n, 3)).astype(np.float32))
+    rots = rng.standard_normal((n, 4)).astype(np.float32)
+    rots = jnp.asarray(rots / np.linalg.norm(rots, axis=1, keepdims=True))
+    dens = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    active = jnp.asarray(rng.random(n) < 0.8)
+
+    batched = render_views(xyz, scales, rots, dens, cams, active=active,
+                           backend="dense", chunk=3)
+    assert batched.shape == (n_views, det, det)
+    for i in range(n_views):
+        ref = np.asarray(render(
+            xyz, scales, rots, dens,
+            w2c=jnp.asarray(cams.w2c[i]), full_proj=jnp.asarray(cams.full_proj[i]),
+            width=det, height=det, tanfovx=cams.tanfovx, tanfovy=cams.tanfovy,
+            mode=cams.mode, active=active, backend="dense",
+        )["render"])
+        # scan-vs-standalone XLA fusion differences are ~1e-7 absolute
+        np.testing.assert_allclose(batched[i], ref, rtol=1e-5, atol=5e-7)

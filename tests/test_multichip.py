@@ -78,8 +78,11 @@ def test_sharded_trainer_matches_single_device_across_densify():
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_trainer_pallas_backend():
     """The Pallas splat kernels must run (and differentiate) under
-    shard_map: one sharded dispatch with backend='pallas' (interpret mode on
-    CPU) matches the single-device pallas step."""
+    shard_map ACROSS a densification event: 8 iterations with
+    backend='pallas' (interpret mode on CPU) cross the iter-4 and iter-8
+    densify boundaries, exercising pallas + shard_map +
+    replicate->densify->reshard together, and must match the single-device
+    pallas trajectory."""
     from r2_gaussian_tpu.parallel.sharding import make_mesh
     from r2_gaussian_tpu.parallel.train_sharded import tiny_problem
     from r2_gaussian_tpu.pipeline.trainer import Trainer
@@ -88,11 +91,16 @@ def test_sharded_trainer_pallas_backend():
     single = Trainer(*tiny_problem(n, det=32), backend="pallas", seed=5)
     sharded = Trainer(*tiny_problem(n, det=32), backend="pallas", seed=5,
                       mesh=make_mesh(8))
-    m1, _ = single.run_chunk(2)
-    m2, _ = sharded.run_chunk(2)
+    m1, n1 = single.run_chunk(8)
+    m2, n2 = sharded.run_chunk(8)
+    assert n1 == n2 and n1 is not None
     np.testing.assert_allclose(m2, m1, rtol=2e-4, atol=1e-5)
+    act1 = np.asarray(single.state.aux.active)
+    act2 = np.asarray(sharded.state.aux.active)
+    np.testing.assert_array_equal(act2, act1)
     np.testing.assert_allclose(
-        np.asarray(sharded.state.params.xyz), np.asarray(single.state.params.xyz),
+        np.asarray(sharded.state.params.xyz)[act2],
+        np.asarray(single.state.params.xyz)[act1],
         rtol=1e-3, atol=1e-6,
     )
 

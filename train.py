@@ -32,7 +32,7 @@ from tqdm import tqdm
 
 from r2_gaussian_tpu.dataset.scene import Scene
 from r2_gaussian_tpu.models.gaussians import activate, create_from_pcd, load_point_cloud
-from r2_gaussian_tpu.models.render import query_volume, render
+from r2_gaussian_tpu.models.render import query_volume, render_views
 from r2_gaussian_tpu.pipeline.checkpoint import load_checkpoint, save_checkpoint
 from r2_gaussian_tpu.pipeline.config import (
     ModelParams,
@@ -84,28 +84,17 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
     active = trainer.state.aux.active
 
     results = {}
-    render_jit = None
     for name, cams in [
         ("render_train", scene.train_cameras),
         ("render_test", scene.test_cameras),
     ]:
         if cams is None or len(cams) == 0:
             continue
-        if render_jit is None:
-            @jax.jit
-            def render_jit(xyz, scales, rots, dens, active, w2c, fp):
-                return render(
-                    xyz, scales, rots, dens, w2c=w2c, full_proj=fp,
-                    width=cams.width, height=cams.height,
-                    tanfovx=cams.tanfovx, tanfovy=cams.tanfovy,
-                    mode=cams.mode, active=active, backend=backend,
-                )["render"]
-        imgs = []
-        for i in range(len(cams)):
-            imgs.append(np.asarray(render_jit(
-                xyz, scales, rots, dens, active,
-                jnp.asarray(cams.w2c[i]), jnp.asarray(cams.full_proj[i]),
-            )))
+        # chunked multi-view dispatches; per-split dims come from `cams`
+        # itself (no shared closure between splits)
+        imgs = render_views(
+            xyz, scales, rots, dens, cams, active=active, backend=backend,
+        )
         if tb_writer:
             # gt/render/diff panels for ~5 evenly spaced views
             # (reference train.py:258-305)
@@ -122,7 +111,7 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
                 f"{name}/gt_render_diff", np.concatenate(panels, axis=0),
                 global_step=iteration, dataformats="HWC",
             )
-        m = metric_proj(cams.images, np.stack(imgs))
+        m = metric_proj(cams.images, imgs)
         results[name] = m
         with open(osp.join(eval_path, f"eval2d_{name}.yml"), "w") as f:
             yaml.dump(
