@@ -1,0 +1,249 @@
+"""Speed-of-light bound for the 500k-state render step (VERDICT r2 #5).
+
+Two halves, both measured on the real chip:
+
+1. Microbenchmarks — in-register Pallas loops (no HBM traffic inside the
+   timed loop) for the three resources the splat kernels spend:
+     - VPU transcendental throughput (exp/s),
+     - VPU fma throughput (flop/s),
+     - MXU f32-HIGHEST matmul throughput (flop/s, the precision the
+       selector/placement/Mehler matmuls actually use),
+   plus a streaming HBM read (GB/s).
+
+2. Work census — per-tier block counts from the production router
+   (render_pallas(return_aux=True, kernel="auto")) at the saved
+   500k-gaussian stress state, converted into exp counts / MXU flops /
+   HBM bytes for the forward and backward splat passes.
+
+Prints one JSON line: per-resource lower bounds (work / measured
+throughput), their max (perfect-overlap bound) and sum (serial bound), and
+the measured step time for comparison. The written analysis goes in
+ARCHITECTURE.md ("Speed-of-light accounting").
+
+Usage: python dev/mfu_bound.py [state.npz]   (solo on the TPU host)
+"""
+import functools
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+import numpy as np
+
+from r2_gaussian_tpu.utils.runtime import setup_jax_cache
+
+setup_jax_cache()
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
+STATE = sys.argv[1] if len(sys.argv) > 1 else "state_1100.npz"
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def timed(fn, *args, reps=20):
+    jax.block_until_ready(fn(*args))  # warm-up / compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+# -- 1. microbenchmarks ------------------------------------------------------
+
+R, C = 256, 1024  # VMEM-resident working block
+
+
+def _loop_kernel(x_ref, o_ref, *, m, body):
+    def step(_, x):
+        return body(x)
+
+    o_ref[...] = jax.lax.fori_loop(0, m, step, x_ref[...])
+
+
+def _loop_call(x, m, body):
+    return pl.pallas_call(
+        functools.partial(_loop_kernel, m=m, body=body),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=not ON_TPU,
+    )(x)
+
+
+def bench_loop(body, elems_per_iter, m=4096):
+    """Per-element rate via the difference of m and 2m iterations (subtracts
+    dispatch + in/out DMA, which are identical)."""
+    x = jnp.full((R, C), 0.5, jnp.float32)
+    f1 = jax.jit(functools.partial(_loop_call, m=m, body=body))
+    f2 = jax.jit(functools.partial(_loop_call, m=2 * m, body=body))
+    t1, t2 = timed(f1, x), timed(f2, x)
+    return elems_per_iter * m / max(t2 - t1, 1e-12)
+
+
+def _mxu_kernel(x_ref, w_ref, o_ref, *, m, precision):
+    def step(_, x):
+        if precision == "bf16":
+            return jax.lax.dot(
+                x.astype(jnp.bfloat16), w_ref[...].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        return jax.lax.dot(x, w_ref[...], precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+
+    o_ref[...] = jax.lax.fori_loop(0, m, step, x_ref[...])
+
+
+def bench_mxu(n=512, m=256, precision="highest"):
+    rng = np.random.default_rng(0)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = jnp.asarray(0.999 * q, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, n)) / n, jnp.float32)
+
+    def call(x, w, mm):
+        return pl.pallas_call(
+            functools.partial(_mxu_kernel, m=mm, precision=precision),
+            out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+            interpret=not ON_TPU,
+        )(x, w)
+
+    f1 = jax.jit(functools.partial(call, mm=m))
+    f2 = jax.jit(functools.partial(call, mm=2 * m))
+    t1, t2 = timed(f1, x, w), timed(f2, x, w)
+    return 2 * n * n * n * m / max(t2 - t1, 1e-12)
+
+
+def bench_hbm(mb=256):
+    x = jnp.ones((mb * 1024 * 1024 // 4,), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x * 1.000001))  # read-only stream
+    t = timed(f, x)
+    return mb / 1024 / t  # GB/s read
+
+
+# -- 2. work census ----------------------------------------------------------
+
+
+def census():
+    from r2_gaussian_tpu.dataset.geometry import build_cameras
+    from r2_gaussian_tpu.models.gaussians import GaussianParams, activate
+    from r2_gaussian_tpu.models.preprocess import cov3d_components, preprocess
+    from r2_gaussian_tpu.ops import splat2d
+
+    d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
+                allow_pickle=True)
+    scanner, projs, angles = d["scanner"].item(), d["projs"], d["angles"]
+    cams = build_cameras(angles, projs, [str(i) for i in range(len(angles))],
+                         scanner)
+    s = np.load(osp.join(ROOT, ".bench_data", STATE))
+    sb = tuple(float(v) for v in s["scale_bound"])
+    params = GaussianParams(
+        xyz=jnp.asarray(s["xyz"]), scaling=jnp.asarray(s["scaling"]),
+        rotation=jnp.asarray(s["rotation"]), density=jnp.asarray(s["density"]),
+    )
+    xyz, scales, rots, dens = activate(params, sb)
+    active = jnp.asarray(s["active"])
+    H = W = int(scanner["nDetector"][0])
+    cov3d = cov3d_components(scales, rots)
+    prep = preprocess(
+        xyz, cov3d, dens, jnp.asarray(cams.w2c[0]),
+        jnp.asarray(cams.full_proj[0]), width=W, height=H,
+        tanfovx=cams.tanfovx, tanfovy=cams.tanfovy, mode=cams.mode,
+        active=active)
+    _, aux = splat2d.render_pallas(prep, width=W, height=H, return_aux=True,
+                                   kernel="auto")
+    tiers = [tuple(int(v) for v in np.asarray(t)) for t in aux["tiers"]]
+    gg = int(np.asarray(aux["gg"]))
+
+    work = dict(exp=0.0, vpu=0.0, mxu_bf16=0.0, mxu_f32=0.0, hbm_bytes=0.0)
+    K = splat2d.K_LR
+    for tag, lr in (("lr_", True), ("spill_", False), ("", False)):
+        for ti, (wh, ww) in enumerate(tiers):
+            key = f"{tag}tier{ti}_blocks"
+            if key not in aux:
+                continue
+            nbk = float(np.asarray(aux[key]))
+            if nbk == 0:
+                continue
+            g = gg if tag != "spill_" else splat2d.G
+            area, bufw = wh * ww, splat2d._buf_width(ww, W)
+            if lr:
+                rc = splat2d._rc_lr(wh)
+                nch = wh // rc
+                # fwd: factor lines exp((ww+wh), g) + Hermite recurrence
+                # (~3K flops/elem); patch matmul bf16 (rc, K*g)@(K*g, ww)
+                # per chunk; _place f32-HIGHEST (rc, ww)@(ww, bufw)
+                work["exp"] += nbk * (ww + wh) * g
+                work["vpu"] += nbk * (ww + wh) * g * 3 * K
+                work["mxu_bf16"] += nbk * 2 * area * K * g
+                work["mxu_f32"] += nbk * nch * 2 * rc * ww * bufw
+                # bwd: factor recompute; per chunk _extract f32 (rc, bufw)@
+                # (bufw, ww), dU + dV bf16 matmuls (2 x 2*rc*ww*K*g), and
+                # _he_series on (rc, g) (~6K flops/elem); final _he_series
+                # + param chain on the (ww, g) lines
+                work["exp"] += nbk * (ww + wh) * g
+                work["vpu"] += nbk * (wh * g * 6 * K + ww * g * 9 * K
+                                      + (ww + wh) * g * 3 * K)
+                work["mxu_bf16"] += nbk * 2 * 2 * area * K * g
+                work["mxu_f32"] += nbk * nch * 2 * rc * bufw * ww
+            else:
+                rc = splat2d._rc_for(ww)
+                nch = wh // rc
+                pairs = area * g
+                # fwd: 1 exp + ~12 VPU flops per (pixel, gaussian) pair;
+                # _to_grid (2 selector matmuls over (rc*ww)) + _place
+                work["exp"] += nbk * pairs
+                work["vpu"] += nbk * pairs * 12
+                work["mxu_f32"] += nbk * nch * (
+                    2 * rc * (rc * ww) * ww + rc * ww * ww  # _to_grid
+                    + 2 * rc * ww * bufw)  # _place
+                # bwd: recompute pair grid + 6 moment reductions (~30
+                # flops/pair); _extract + _to_column selector matmuls
+                work["exp"] += nbk * pairs
+                work["vpu"] += nbk * pairs * 30
+                work["mxu_f32"] += nbk * nch * (
+                    2 * rc * bufw * ww  # _extract
+                    + 2 * (rc * ww) * rc * ww + rc * ww * ww)  # _to_column
+            # kdata read fwd + read bwd + grad rows write
+            work["hbm_bytes"] += nbk * 3 * splat2d.NF * g * 4
+    work["hbm_bytes"] += 3 * H * W * 4  # image out fwd, gimg in + grad out
+    counts = {k: float(np.asarray(v)) for k, v in aux.items()
+              if k not in ("tiers", "gg")}
+    return work, counts, tiers, gg
+
+
+def main():
+    rates = {}
+    if ON_TPU:
+        rates["exp_per_s"] = bench_loop(lambda x: jnp.exp(-x), R * C)
+        rates["vpu_flops"] = bench_loop(
+            lambda x: x * 1.000001 + 1e-6, 2 * R * C)
+        rates["mxu_f32_flops"] = bench_mxu(precision="highest")
+        rates["mxu_bf16_flops"] = bench_mxu(precision="bf16")
+        rates["hbm_read_gbs"] = bench_hbm()
+    work, counts, tiers, gg = census()
+    out = {"state": STATE, "tiers": tiers, "gg": gg, "rates": rates,
+           "work": work, "tier_counts": counts}
+    if rates:
+        bounds = {
+            "exp_ms": 1e3 * work["exp"] / rates["exp_per_s"],
+            "vpu_ms": 1e3 * work["vpu"] / rates["vpu_flops"],
+            "mxu_f32_ms": 1e3 * work["mxu_f32"] / rates["mxu_f32_flops"],
+            "mxu_bf16_ms": 1e3 * work["mxu_bf16"] / rates["mxu_bf16_flops"],
+            "hbm_ms": 1e3 * work["hbm_bytes"] / rates["hbm_read_gbs"] / 1e9,
+        }
+        # exp shares the VPU with the elementwise flops; the MXU precisions
+        # share the MXU — the overlap bound takes each UNIT's total
+        bounds["overlap_bound_ms"] = max(
+            bounds["exp_ms"] + bounds["vpu_ms"],
+            bounds["mxu_f32_ms"] + bounds["mxu_bf16_ms"],
+            bounds["hbm_ms"])
+        bounds["serial_bound_ms"] = (
+            bounds["exp_ms"] + bounds["vpu_ms"] + bounds["mxu_f32_ms"]
+            + bounds["mxu_bf16_ms"] + bounds["hbm_ms"])
+        out["bounds"] = bounds
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

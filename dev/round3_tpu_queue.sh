@@ -45,4 +45,11 @@ for b in 0 2 4 8; do
     || echo "BATCH_AB $b FAILED"
 done
 
+# 6. speed-of-light accounting at the 500k state (VERDICT #5 written bound)
+timeout 1800 python dev/mfu_bound.py state_1100.npz \
+  | tee .bench_data/mfu_bound.json || echo "MFU_BOUND FAILED"
+
+# 7. render the collected quality artifacts as markdown tables
+python dev/collect_results.py || true
+
 echo "ROUND3 QUEUE DONE"

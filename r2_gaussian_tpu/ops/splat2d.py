@@ -1142,5 +1142,8 @@ def render_pallas(
     if return_aux:
         aux["fallback_count"] = total_fb
         aux["fallback_dropped"] = jnp.maximum(total_fb - config.dense_cap, 0)
+        # static geometry for work-census tooling (dev/mfu_bound.py)
+        aux["tiers"] = tuple(tiers)
+        aux["gg"] = gg
         return out, aux
     return out
