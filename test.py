@@ -9,6 +9,7 @@ exports, and writes YAML metric reports.
 import os
 import os.path as osp
 import sys
+import time
 from argparse import ArgumentParser
 
 import numpy as np
@@ -70,8 +71,10 @@ def evaluate_render(name, cams, xyz, scales, rots, dens, active, out_dir,
         np.save(stem + ".npy", img)
         save_image(stem + ".png", img)
 
+    t0 = time.time()
     imgs = render_views(xyz, scales, rots, dens, cams, active=active,
                         backend=backend)
+    t_render = time.time() - t0
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
         futures = [
             pool.submit(write_one, osp.join(out_dir, f"{cams.image_names[i]}"),
@@ -91,7 +94,8 @@ def evaluate_render(name, cams, xyz, scales, rots, dens, active, out_dir,
              "psnr_2d_projs": m["psnr_2d_projs"], "ssim_2d_projs": m["ssim_2d_projs"]},
             f, default_flow_style=False, sort_keys=False,
         )
-    print(f"{name}: psnr2d {m['psnr_2d']:.3f}, ssim2d {m['ssim_2d']:.3f}")
+    print(f"{name}: psnr2d {m['psnr_2d']:.3f}, ssim2d {m['ssim_2d']:.3f} "
+          f"({len(cams)} views rendered in {t_render:.2f}s incl. compile)")
     return m
 
 
