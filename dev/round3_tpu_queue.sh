@@ -7,12 +7,12 @@ set -x
 cd /root/repo
 mkdir -p .bench_data output
 
-# 0. TPU kernel regression tests (fast; validates the kernels on real HW)
-timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
-
 # 1. headline bench FIRST — guarantees a driver-verifiable number exists
 timeout 1800 python bench.py | tee .bench_data/bench_r3_early.json \
   || echo "BENCH FAILED"
+
+# 2. TPU kernel regression tests (validates the kernels on real HW)
+timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
 
 # 2. lambda_tv sweep on the noisy flagship (30k-quality remedy, VERDICT #3)
 for ltv in 0.05 0.15 0.30; do
