@@ -152,3 +152,38 @@ def test_sharded_render_matches_single_device():
     args = [shard_gaussians(a, mesh) for a in (xyz, scales, rots, dens)]
     got = jax.jit(sharded)(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_checkpoint_restore_into_sharded_trainer(tmp_path):
+    """train.py's --start_checkpoint + --n_devices path (train.py:224-232):
+    a single-device checkpoint restored into a mesh-sharded Trainer via
+    shard_train_state must continue on the single-device trajectory."""
+    from r2_gaussian_tpu.parallel.sharding import make_mesh, shard_train_state
+    from r2_gaussian_tpu.parallel.train_sharded import tiny_problem
+    from r2_gaussian_tpu.pipeline.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+    from r2_gaussian_tpu.pipeline.trainer import Trainer
+
+    n = 1024
+    single = Trainer(*tiny_problem(n, det=32), backend="dense", seed=13)
+    single.run_chunk(4)  # crosses the iter-4 densify event
+    ckpt = tmp_path / "chkpnt4.pickle"
+    save_checkpoint(str(ckpt), single.state, single.iteration,
+                    single.scale_bound)
+    m_ref, n_ref = single.run_chunk(4)
+
+    mesh = make_mesh(8)
+    sharded = Trainer(*tiny_problem(n, det=32), backend="dense", seed=13,
+                      mesh=mesh)
+    state, it, _ = load_checkpoint(str(ckpt))
+    sharded.state = shard_train_state(state, mesh)
+    sharded.iteration = it
+    m_new, n_new = sharded.run_chunk(4)
+
+    assert n_ref == n_new
+    np.testing.assert_allclose(np.asarray(m_new), np.asarray(m_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharded.state.params.xyz),
+        np.asarray(single.state.params.xyz), rtol=1e-3, atol=1e-6)
