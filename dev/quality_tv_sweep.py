@@ -1,6 +1,8 @@
 """30k-iteration run on the noisy flagship at a given lambda_tv; appends
 one JSON line per eval point to .bench_data/tv_sweep.jsonl. Usage:
-python dev/quality_tv_sweep.py <lambda_tv> [tag]"""
+python dev/quality_tv_sweep.py <lambda_tv> [tag] [opt_field=value ...]
+(extra k=v pairs override any field of the opt namespace below, e.g.
+position_lr_final=5e-6 to test a lower late-stage LR floor.)"""
 import json
 import sys, time, types
 sys.path.insert(0, "/root/repo")
@@ -14,7 +16,9 @@ from r2_gaussian_tpu.pipeline.trainer import Trainer
 from r2_gaussian_tpu.utils.metrics import metric_vol_psnr, metric_vol_ssim
 
 LTV = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
-TAG = sys.argv[2] if len(sys.argv) > 2 else f"ltv{LTV}"
+TAG = (sys.argv[2] if len(sys.argv) > 2 and "=" not in sys.argv[2]
+       else f"ltv{LTV}")
+OVERRIDES = dict(kv.split("=", 1) for kv in sys.argv[2:] if "=" in kv)
 
 d = np.load("/root/repo/.bench_data/slb_256_512_25_50000.npz", allow_pickle=True)
 vol_gt, projs, angles, scanner, pts = (d["vol"], d["projs"], d["angles"],
@@ -36,6 +40,10 @@ opt = types.SimpleNamespace(
     densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
 )
+for k, v in OVERRIDES.items():
+    assert hasattr(opt, k), f"unknown opt field {k}"
+    cur = getattr(opt, k)
+    setattr(opt, k, type(cur)(v) if cur is not None else float(v))
 trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
 
 
@@ -55,7 +63,7 @@ with open("/root/repo/.bench_data/tv_sweep.jsonl", "a") as f:
         while trainer.iteration < target:
             m, _ = trainer.run_chunk(min(100, target - trainer.iteration))
         p3, s3 = eval3d()
-        row = dict(tag=TAG, lambda_tv=LTV, iter=target,
+        row = dict(tag=TAG, lambda_tv=LTV, overrides=OVERRIDES, iter=target,
                    wall_s=round(time.time() - t0, 1), psnr3d=round(p3, 2),
                    ssim3d=round(s3, 4),
                    n=int(np.asarray(trainer.state.aux.n_active)))

@@ -14,10 +14,15 @@ timeout 1800 python bench.py | tee .bench_data/bench_r3_early.json \
 # 2. TPU kernel regression tests (validates the kernels on real HW)
 timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
 
-# 2. lambda_tv sweep on the noisy flagship (30k-quality remedy, VERDICT #3)
+# 3. lambda_tv sweep on the noisy flagship (30k-quality remedy, VERDICT #3),
+#    plus one late-LR-floor variant (the other principled semiconvergence
+#    remedy: smaller terminal step sizes stop the noise-fitting drift)
 for ltv in 0.05 0.15 0.30; do
   timeout 2400 python dev/quality_tv_sweep.py $ltv || echo "SWEEP $ltv FAILED"
 done
+timeout 2400 python dev/quality_tv_sweep.py 0.05 lrfloor \
+  position_lr_final=5e-6 density_lr_final=2e-4 scaling_lr_final=1e-4 \
+  rotation_lr_final=2e-5 || echo "SWEEP lrfloor FAILED"
 
 # 3. chest stand-in case: train 30k with default hyperparameters (VERDICT #1)
 timeout 3600 python -u train.py \
