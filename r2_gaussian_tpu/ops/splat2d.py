@@ -86,17 +86,50 @@ def _split_ox(ox, ww: int, width: int):
     return pl.multiple_of(ox_hi, 128), ox - ox_hi
 
 
+# Selector-matmul precision (A/B lever for the ~7.5e10 f32 selector flops
+# in the 500k-state step, ARCHITECTURE.md speed-of-light table). One operand
+# of every selector dot is an exact 0/1 matrix; only the payload operand
+# carries data, so cheaper MXU modes differ solely in payload rounding:
+#   highest — 6-pass exact f32 (default; Mosaic lowers DEFAULT/HIGHEST only)
+#   split2  — two DEFAULT bf16 passes on a hi/lo mantissa split of the
+#             payload: each pass places its part exactly (f32 accumulate),
+#             total payload error ~2^-17 relative — negligible vs the bf16
+#             Mehler patch matmuls already in the LR path
+#   bf16    — single DEFAULT pass, ~2^-8 payload rounding (quality-gated)
+_SELDOT = os.environ.get("R2G_SELDOT", "highest")
+
+
+def _sel_dot(a, b, data_side: int):
+    """a @ b where the `data_side` operand (0=a, 1=b) carries the payload
+    and the other is an exact 0/1 selector. Precision per _SELDOT."""
+    if _SELDOT == "highest":
+        return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    if _SELDOT == "bf16":
+        return jax.lax.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    assert _SELDOT == "split2", _SELDOT
+    d = a if data_side == 0 else b
+    hi = d.astype(jnp.bfloat16)
+    lo = (d - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if data_side == 0:
+        s16 = b.astype(jnp.bfloat16)
+        return (jax.lax.dot(hi, s16, preferred_element_type=jnp.float32)
+                + jax.lax.dot(lo, s16, preferred_element_type=jnp.float32))
+    s16 = a.astype(jnp.bfloat16)
+    return (jax.lax.dot(s16, hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(s16, lo, preferred_element_type=jnp.float32))
+
+
 def _place(patch, sel):
-    """(RC, ww) @ (ww, width) at full f32 precision (sel is 0/1; Mosaic
-    only lowers DEFAULT and HIGHEST dot precisions)."""
-    return jax.lax.dot(patch, sel, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    """(RC, ww) @ (ww, width): place window columns at image columns
+    (sel is 0/1; payload = patch)."""
+    return _sel_dot(patch, sel, 0)
 
 
 def _extract(rows, sel):
     """(RC, width) x selector -> (RC, ww) window columns."""
-    return jax.lax.dot(rows, sel.T, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    return _sel_dot(rows, sel.T, 0)
 
 
 def _to_grid(col, rc: int, ww: int):
@@ -108,8 +141,7 @@ def _to_grid(col, rc: int, ww: int):
     p2 = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, ww), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, ww), 1)
     m2 = (p2 % ww == c2).astype(jnp.float32)
-    return jax.lax.dot(b1t, col * m2, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    return _sel_dot(b1t, col * m2, 1)
 
 
 def _to_column(grid, rc: int, ww: int):
@@ -118,8 +150,7 @@ def _to_column(grid, rc: int, ww: int):
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, rc), 0)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, rc), 1)
     b1 = (p_iota // ww == r_iota).astype(jnp.float32)
-    rows = jax.lax.dot(b1, grid, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)  # (P, ww)
+    rows = _sel_dot(b1, grid, 1)  # (P, ww)
     p2 = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, ww), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (rc * ww, ww), 1)
     m2 = (p2 % ww == c2).astype(jnp.float32)
