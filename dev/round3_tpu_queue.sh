@@ -69,6 +69,16 @@ if [ ! -f .bench_data/batch_ab_r3.log ]; then
   done 2>&1 | tee .bench_data/batch_ab_r3.log
 fi
 
+# 6b. selector-dot precision A/B at the 500k state (R2G_SELDOT lever:
+#     the ~7.5e10 f32-HIGHEST selector flops; split2 is quality-safe,
+#     bf16 needs the quality gate before any default flip)
+if [ ! -f .bench_data/seldot_ab_r3.log ]; then
+  for m in highest split2 bf16; do
+    R2G_SELDOT=$m timeout 900 python dev/batch_ab.py state_1100.npz \
+      || echo "SELDOT_AB $m FAILED"
+  done 2>&1 | tee .bench_data/seldot_ab_r3.log
+fi
+
 # 7. speed-of-light accounting at the 500k state (VERDICT #5 written bound)
 if ! grep -q '"rates"' .bench_data/mfu_bound.json 2>/dev/null; then
   timeout 1800 python dev/mfu_bound.py state_1100.npz \
