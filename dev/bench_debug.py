@@ -29,7 +29,7 @@ opt = types.SimpleNamespace(
     densify_until_iter=0, densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000)
 trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="auto")
-p, a, x = resort_spatial(trainer.state.params, trainer.state.adam, trainer.state.aux)
+p, a, x, _ = resort_spatial(trainer.state.params, trainer.state.adam, trainer.state.aux)
 trainer.state = trainer.state._replace(params=p, adam=a, aux=x)
 print("compiling 10-step chunk...", flush=True)
 t0 = time.time()

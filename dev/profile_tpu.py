@@ -35,7 +35,7 @@ opt = types.SimpleNamespace(iterations=10**7,
     densify_until_iter=0, densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000)
 trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
-p, a, x = resort_spatial(trainer.state.params, trainer.state.adam, trainer.state.aux, scale_bound=sb)
+p, a, x, _ = resort_spatial(trainer.state.params, trainer.state.adam, trainer.state.aux, scale_bound=sb)
 trainer.state = trainer.state._replace(params=p, adam=a, aux=x)
 params, aux = trainer.state.params, trainer.state.aux
 

@@ -39,6 +39,7 @@ opt = types.SimpleNamespace(
     densification_interval=100, densify_from_iter=500, densify_until_iter=15_000,
     densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
+    ema_decay=0.0,
 )
 for k, v in OVERRIDES.items():
     assert hasattr(opt, k), f"unknown opt field {k}"
@@ -48,7 +49,7 @@ trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
 
 
 def eval3d():
-    xyz, scales, rots, dens = activate(trainer.state.params, sb)
+    xyz, scales, rots, dens = activate(trainer.eval_params, sb)
     vol = np.asarray(query_volume(
         xyz, scales, rots, dens, center=scanner["offOrigin"],
         n_voxel=tuple(int(v) for v in scanner["nVoxel"]),

@@ -57,6 +57,13 @@ if ! grep -q '"tag": "lrfloor".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev
     position_lr_final=5e-6 density_lr_final=2e-4 scaling_lr_final=1e-4 \
     rotation_lr_final=2e-5 || echo "SWEEP lrfloor FAILED"
 fi
+# Polyak-averaged evaluation params (the third principled semiconvergence
+# remedy: iterate averaging — noise fitting is high-frequency in iteration
+# index and averages out)
+if ! grep -q '"tag": "ema".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev/null; then
+  timeout 2400 python dev/quality_tv_sweep.py 0.05 ema ema_decay=0.999 \
+    || echo "SWEEP ema FAILED"
+fi
 
 # 5. TPU kernel regression tests (validates the kernels on real HW)
 timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"

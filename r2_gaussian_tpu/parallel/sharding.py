@@ -67,10 +67,11 @@ def psum_grad_exact(x, axis: str):
     return f(x)
 
 
-def train_state_specs(axis: str = "g"):
+def train_state_specs(axis: str = "g", with_ema: bool = False):
     """PartitionSpec pytree matching pipeline.trainer.TrainState: every
     per-gaussian leaf sharded on its leading (capacity) axis, the Adam step
-    counter replicated."""
+    counter replicated. `with_ema` mirrors whether the state carries Polyak
+    evaluation parameters (opt.ema_decay > 0) — they shard like params."""
     from ..models.gaussians import GaussianAux, GaussianParams
     from ..pipeline.optim import AdamState
     from ..pipeline.trainer import TrainState
@@ -81,12 +82,13 @@ def train_state_specs(axis: str = "g"):
         params=gp,
         adam=AdamState(m=gp, v=gp, step=P()),
         aux=GaussianAux(active=g, max_radii2d=g, xyz_gradient_accum=g, denom=g),
+        ema=gp if with_ema else None,
     )
 
 
 def shard_train_state(state, mesh: Mesh, axis: str = "g"):
     """Place a TrainState on the mesh with gaussian-axis sharding."""
-    specs = train_state_specs(axis)
+    specs = train_state_specs(axis, with_ema=state.ema is not None)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), state, specs
     )

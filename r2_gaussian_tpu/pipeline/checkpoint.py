@@ -35,6 +35,8 @@ def save_checkpoint(path: str, state: TrainState, iteration: int, scale_bound):
         },
         "iteration": int(iteration),
         "scale_bound": None if scale_bound is None else tuple(scale_bound),
+        # Polyak evaluation parameters (None unless opt.ema_decay > 0)
+        "ema": None if state.ema is None else to_np(state.ema)._asdict(),
     }
     with open(path, "wb") as f:
         pickle.dump(blob, f, pickle.HIGHEST_PROTOCOL)
@@ -50,8 +52,11 @@ def load_checkpoint(path: str):
         step=jnp.int32(blob["adam_step"]),
     )
     aux = GaussianAux(**{k: jnp.asarray(v) for k, v in blob["aux"].items()})
+    ema_blob = blob.get("ema")  # absent in pre-EMA checkpoints
+    ema = (None if ema_blob is None else
+           GaussianParams(**{k: jnp.asarray(v) for k, v in ema_blob.items()}))
     return (
-        TrainState(params=params, adam=adam, aux=aux),
+        TrainState(params=params, adam=adam, aux=aux, ema=ema),
         blob["iteration"],
         blob["scale_bound"],
     )

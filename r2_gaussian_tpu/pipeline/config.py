@@ -99,6 +99,12 @@ class OptimizationParams(ParamGroup):
         self.max_screen_size = None
         self.max_scale = None  # fraction of volume size
         self.max_num_gaussians = 500_000
+        # Polyak/EMA averaging of the parameters for evaluation and saved
+        # models (framework extension beyond the reference; 0 = off =
+        # reference behavior). A decay around 0.999 counters measurement-
+        # noise semiconvergence: late-iteration noise fitting averages out
+        # while the converged signal remains (see RESULTS.md).
+        self.ema_decay = 0.0
         # initial padded-buffer capacity (0 = auto: pow2 >= max(16384, N)).
         # XLA needs static shapes, so gaussians live in padded SoA buffers;
         # smaller caps save compute on small scenes at the cost of an extra

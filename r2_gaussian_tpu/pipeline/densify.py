@@ -98,8 +98,19 @@ def densify_and_prune(
     bbox,  # [2,3]
     cfg: DensifyConfig,
     scale_bound,
+    ema: GaussianParams | None = None,
 ):
-    """One densification event. Returns (params, adam, aux, n_active)."""
+    """One densification event. Returns (params, adam, aux, ema, n_active).
+
+    `ema` (optional, framework extension beyond the reference): the
+    Polyak-averaged evaluation parameters ride the same row surgery as the
+    live parameters — survivors keep their average; rows the event rewrites
+    discontinuously (split children; clone density halving) re-sync so the
+    averaged model stays a faithful mixture: a clone halves the EMA density
+    in activated space (preserving the averaged xyz/scale/rot history in
+    both copies), a split resets both children's EMA to the fresh child
+    parameters. With ema_decay=0 this keeps ema ≡ params through events
+    (tested invariant)."""
     cap = params.capacity
     act = aux.active
     n_active = jnp.sum(act.astype(jnp.int32))
@@ -169,6 +180,30 @@ def densify_and_prune(
         rotation=jnp.concatenate([params.rotation, new_rotation]),
         density=jnp.concatenate([orig_density, new_density]),
     )
+    if ema is not None:
+        cm = clone_mask[:, None]
+        ema_half_density = inverse_softplus(
+            jnp.maximum(softplus(ema.density) * 0.5, 1e-12)
+        )
+        # originals: split -> child1 params; clone -> keep average, halve density
+        ema_orig_xyz = jnp.where(sm, orig_xyz, ema.xyz)
+        ema_orig_scaling = jnp.where(sm, orig_scaling, ema.scaling)
+        ema_orig_rotation = jnp.where(sm, params.rotation, ema.rotation)
+        ema_orig_density = jnp.where(
+            sm, half_density_raw, jnp.where(cm, ema_half_density, ema.density)
+        )
+        # new rows: split -> child2 params; clone copy -> inherit the
+        # original's (density-halved) average
+        ema_new_xyz = jnp.where(sm, new_xyz, ema.xyz)
+        ema_new_scaling = jnp.where(sm, new_scaling, ema.scaling)
+        ema_new_rotation = jnp.where(sm, params.rotation, ema.rotation)
+        ema_new_density = jnp.where(sm, half_density_raw, ema_half_density)
+        ext_ema = GaussianParams(
+            xyz=jnp.concatenate([ema_orig_xyz, ema_new_xyz]),
+            scaling=jnp.concatenate([ema_orig_scaling, ema_new_scaling]),
+            rotation=jnp.concatenate([ema_orig_rotation, ema_new_rotation]),
+            density=jnp.concatenate([ema_orig_density, ema_new_density]),
+        )
     ext_active = jnp.concatenate([orig_active, new_mask])
     ext_radii = jnp.concatenate([aux.max_radii2d, new_radii])
     ext_accum = jnp.concatenate([aux.xyz_gradient_accum, jnp.zeros(cap)])
@@ -197,6 +232,7 @@ def densify_and_prune(
         return a[order]
 
     new_params = jax.tree.map(take, ext)
+    new_ema = None if ema is None else jax.tree.map(take, ext_ema)
     new_m = jax.tree.map(take, ext_m)
     new_v = jax.tree.map(take, ext_v)
     new_active = ext_active[order]
@@ -216,15 +252,16 @@ def densify_and_prune(
         denom=new_denom,
     )
     new_adam = AdamState(m=new_m, v=new_v, step=adam.step)
-    return new_params, new_adam, new_aux, jnp.sum(new_active.astype(jnp.int32))
+    return (new_params, new_adam, new_aux, new_ema,
+            jnp.sum(new_active.astype(jnp.int32)))
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("scale_bound",))
 def resort_spatial(params: GaussianParams, adam: AdamState, aux: GaussianAux,
-                   scale_bound=None):
+                   scale_bound=None, ema: GaussianParams | None = None):
     """Re-sort live gaussians by (size class, Morton code) — no densify.
     Used to restore block locality for the splat kernels when positions have
-    drifted."""
+    drifted. Returns (params, adam, aux, ema)."""
     max_sc = jnp.max(scale_activation(params.scaling, scale_bound), axis=-1)
     order = _compaction_order(params.xyz, max_sc, aux.active)
     take = lambda a: a[order]
@@ -237,6 +274,7 @@ def resort_spatial(params: GaussianParams, adam: AdamState, aux: GaussianAux,
             xyz_gradient_accum=aux.xyz_gradient_accum[order],
             denom=aux.denom[order],
         ),
+        None if ema is None else jax.tree.map(take, ema),
     )
 
 

@@ -35,6 +35,13 @@ class TrainState(NamedTuple):
     params: GaussianParams
     adam: AdamState
     aux: GaussianAux
+    # Polyak/EMA-averaged evaluation parameters (framework extension beyond
+    # the reference; enabled by opt.ema_decay > 0, None otherwise). Averaging
+    # the iterates is the classical counter to noise semiconvergence in
+    # iterative CT: the noise-fitting component of late iterations is
+    # high-frequency in iteration index and averages out, while the signal
+    # component has converged. Rows ride the densify surgery (densify.py).
+    ema: GaussianParams | None = None
 
 
 def make_train_fn(
@@ -62,6 +69,7 @@ def make_train_fn(
     tanfovx, tanfovy, mode = cameras.tanfovx, cameras.tanfovy, cameras.mode
     lambda_dssim = float(opt_cfg.lambda_dssim)
     lambda_tv = float(opt_cfg.lambda_tv)
+    ema_decay = float(getattr(opt_cfg, "ema_decay", 0.0) or 0.0)
     use_tv = lambda_tv > 0
     tv_n = int(opt_cfg.tv_vol_size)
     d_voxel = np.asarray(scanner_cfg["dVoxel"], np.float32)
@@ -151,11 +159,20 @@ def make_train_fn(
             new_adam = jax.tree.map(
                 lambda a, b: jnp.where(skip, a, b), state.adam, new_adam
             )
+            new_ema = state.ema
+            if state.ema is not None:
+                new_ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema, new_p,
+                )
+                new_ema = jax.tree.map(
+                    lambda a, b: jnp.where(skip, a, b), state.ema, new_ema
+                )
             n_vis = jnp.sum(visible).astype(jnp.float32)
             if mesh is not None:
                 n_vis = jax.lax.psum(n_vis, shard_axis)
             metrics = metrics.at[k].set(jnp.stack([total, l1, dssim, tv, n_vis]))
-            return TrainState(new_p, new_adam, aux), metrics
+            return TrainState(new_p, new_adam, aux, new_ema), metrics
 
         metrics0 = jnp.zeros((steps_per_call, 5), jnp.float32)
         state, metrics = jax.lax.fori_loop(0, steps_per_call, body, (state, metrics0))
@@ -168,7 +185,7 @@ def make_train_fn(
 
     from ..parallel.sharding import train_state_specs  # noqa: F811
 
-    specs = train_state_specs(shard_axis)
+    specs = train_state_specs(shard_axis, with_ema=ema_decay > 0)
     # check_vma=False: the Pallas kernels cannot thread varying-manual-axis
     # metadata through their out_shapes in interpret mode (CPU tests), and
     # the kernel bodies mix varying refs with literals. Gradient correctness
@@ -211,7 +228,13 @@ class Trainer:
         self.kernel = kernel
         self.mesh = mesh
         self.shard_axis = shard_axis
-        self.state = TrainState(params=params, adam=init_adam(params), aux=aux)
+        self.ema_decay = float(getattr(opt_cfg, "ema_decay", 0.0) or 0.0)
+        # jnp.copy: ema must not alias the params buffers — the train fn
+        # donates the state, and two donated leaves sharing one buffer is
+        # undefined
+        ema = (jax.tree.map(jnp.copy, params) if self.ema_decay > 0 else None)
+        self.state = TrainState(params=params, adam=init_adam(params), aux=aux,
+                                ema=ema)
         if mesh is not None:
             n_dev = mesh.devices.size
             cap = params.capacity
@@ -296,6 +319,12 @@ class Trainer:
                 shard_axis=self.shard_axis,
             )
         return self._train_fns[key]
+
+    @property
+    def eval_params(self) -> GaussianParams:
+        """Parameters to evaluate/save: the Polyak average when ema_decay is
+        on, the live parameters otherwise (reference behavior)."""
+        return self.state.ema if self.state.ema is not None else self.state.params
 
     def _is_densify_iter(self, it: int) -> bool:
         return (
@@ -404,11 +433,11 @@ class Trainer:
             from ..parallel.sharding import replicate_train_state
 
             state = replicate_train_state(state, self.mesh)
-        p, a, x, n = densify_and_prune(
+        p, a, x, e, n = densify_and_prune(
             sub, state.params, state.adam, state.aux,
-            self.bbox, self.densify_cfg, self.scale_bound,
+            self.bbox, self.densify_cfg, self.scale_bound, ema=state.ema,
         )
-        self.state = TrainState(params=p, adam=a, aux=x)
+        self.state = TrainState(params=p, adam=a, aux=x, ema=e)
         if self.mesh is not None:
             from ..parallel.sharding import shard_train_state
 
@@ -456,4 +485,10 @@ class Trainer:
             xyz_gradient_accum=pad(a.xyz_gradient_accum),
             denom=pad(a.denom),
         )
-        self.state = TrainState(params, adam, aux)
+        e = self.state.ema
+        ema = None if e is None else GaussianParams(
+            xyz=pad(e.xyz), scaling=pad(e.scaling),
+            rotation=pad(e.rotation).at[cap:, 0].set(1.0),
+            density=pad(e.density, -20.0),
+        )
+        self.state = TrainState(params, adam, aux, ema)

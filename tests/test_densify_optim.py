@@ -62,7 +62,7 @@ def test_clone_small_high_grad():
         xyz_gradient_accum=aux.xyz_gradient_accum.at[0].set(1.0),
         denom=aux.denom.at[0].set(1.0),
     )
-    p, a, x, n = densify_and_prune(
+    p, a, x, _, n = densify_and_prune(
         jax.random.PRNGKey(0), params, adam, aux, BBOX, CFG, None
     )
     assert int(n) == 5
@@ -85,7 +85,7 @@ def test_split_large_high_grad():
         xyz_gradient_accum=aux.xyz_gradient_accum.at[1].set(1.0),
         denom=aux.denom.at[1].set(1.0),
     )
-    p, a, x, n = densify_and_prune(
+    p, a, x, _, n = densify_and_prune(
         jax.random.PRNGKey(0), params, adam, aux, BBOX, CFG, None
     )
     # one split: -1 original +2 children = net +1
@@ -102,7 +102,7 @@ def test_prune_low_density_and_bbox():
         density=params.density.at[2].set(-30.0),  # softplus ~ 0 < 1e-5
         xyz=params.xyz.at[3].set(jnp.asarray([2.0, 0, 0])),  # outside bbox
     )
-    p, a, x, n = densify_and_prune(
+    p, a, x, _, n = densify_and_prune(
         jax.random.PRNGKey(0), params, adam, aux, BBOX, CFG, None
     )
     assert int(n) == 4
@@ -115,7 +115,7 @@ def test_densify_stops_at_max():
         xyz_gradient_accum=aux.xyz_gradient_accum.at[0].set(1.0),
         denom=aux.denom.at[0].set(1.0),
     )
-    p, a, x, n = densify_and_prune(
+    p, a, x, _, n = densify_and_prune(
         jax.random.PRNGKey(0), params, adam, aux, BBOX, cfg, None
     )
     assert int(n) == 4  # no clone happened

@@ -80,7 +80,8 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
     """2D/3D evaluation at test iterations (reference train.py:241-355)."""
     eval_path = osp.join(scene.model_path, "eval", f"iter_{iteration:06d}")
     os.makedirs(eval_path, exist_ok=True)
-    xyz, scales, rots, dens = activate(trainer.state.params, trainer.scale_bound)
+    # eval_params = Polyak average when --ema_decay > 0, live params otherwise
+    xyz, scales, rots, dens = activate(trainer.eval_params, trainer.scale_bound)
     active = trainer.state.aux.active
 
     results = {}
@@ -179,7 +180,7 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
 
 
 def save_model(trainer, scene, iteration, backend):
-    xyz, scales, rots, dens = activate(trainer.state.params, trainer.scale_bound)
+    xyz, scales, rots, dens = activate(trainer.eval_params, trainer.scale_bound)
     cfg = scene.scanner_cfg
     vol_pred = np.asarray(query_volume(
         xyz, scales, rots, dens,
@@ -187,7 +188,7 @@ def save_model(trainer, scene, iteration, backend):
         s_voxel=cfg["sVoxel"], active=trainer.state.aux.active, backend=backend,
     ))
     scene.save(
-        iteration, trainer.state.params, trainer.state.aux, trainer.scale_bound,
+        iteration, trainer.eval_params, trainer.state.aux, trainer.scale_bound,
         vol_pred=vol_pred,
     )
 
@@ -223,6 +224,13 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
     )
     if start_checkpoint:
         state, it, sb = load_checkpoint(start_checkpoint)
+        # reconcile the checkpoint's EMA with this run's --ema_decay: drop it
+        # when averaging is off, seed it from the live params when the
+        # checkpoint predates averaging
+        if trainer.ema_decay <= 0:
+            state = state._replace(ema=None)
+        elif state.ema is None:
+            state = state._replace(ema=jax.tree.map(jnp.copy, state.params))
         if mesh is not None:
             from r2_gaussian_tpu.parallel.sharding import shard_train_state
 
