@@ -126,7 +126,33 @@ def probe_backend(attempts=None, probe_timeout=None):
     return None
 
 
+def acquire_tpu_lock(timeout_s: int | None = None):
+    """Serialize against the round queue (dev/round3_tpu_queue.sh): the
+    tunneled TPU serves ONE process; a bench launched while a queue step is
+    mid-run would contend and can fail both. Every queue step and this bench
+    take the same advisory flock; on timeout we proceed anyway (a stale
+    holder must not turn the bench into a guaranteed skip). The fd is
+    returned only to keep the lock alive for the process lifetime."""
+    import fcntl
+
+    timeout_s = timeout_s or int(os.environ.get("R2G_TPU_LOCK_TIMEOUT", 2700))
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    f = open(osp.join(CACHE_DIR, "tpu.lock"), "w")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return f
+        except OSError:
+            if time.time() >= deadline:
+                print("tpu.lock still held after timeout; proceeding",
+                      file=sys.stderr, flush=True)
+                return f
+            time.sleep(10)
+
+
 def main():
+    _lock = acquire_tpu_lock()  # noqa: F841 — held for process lifetime
     platform = probe_backend()
     if platform is None:
         return  # structured skip JSON already printed; exit 0

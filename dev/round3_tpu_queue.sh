@@ -18,28 +18,28 @@ fi
 
 # 2. chest stand-in case, 30k, default hyperparameters (VERDICT #1 north star)
 if [ ! -f output/chest_cone_50/point_cloud/iteration_30000/point_cloud.pickle ]; then
-  timeout 3600 python -u train.py \
+  flock -w 7200 .bench_data/tpu.lock timeout 3600 python -u train.py \
     --source_path data/chest_synth/chest_cone_50 \
     --model_path output/chest_cone_50 \
     --test_iterations 1 5000 10000 15000 20000 25000 30000 \
     --save_iterations 30000 || echo "CHEST TRAIN FAILED"
 fi
 if [ ! -f output/chest_cone_50/test/iter_030000/eval3d.yml ]; then
-  timeout 1200 python test.py --model_path output/chest_cone_50 \
+  flock -w 7200 .bench_data/tpu.lock timeout 1200 python test.py --model_path output/chest_cone_50 \
     || echo "CHEST TEST FAILED"
 fi
 
 # 3. views protocol on the blurred shepp-logan flagship (reference 25/50/75)
 for nv in 50 75; do
   if [ ! -f output/slb_cone_$nv/point_cloud/iteration_30000/point_cloud.pickle ]; then
-    timeout 3600 python -u train.py \
+    flock -w 7200 .bench_data/tpu.lock timeout 3600 python -u train.py \
       --source_path data/slb_cone_$nv --model_path output/slb_cone_$nv \
       --test_iterations 1 5000 10000 15000 20000 25000 30000 \
       --save_iterations 30000 \
       || echo "SLB$nv TRAIN FAILED"
   fi
   if [ ! -f output/slb_cone_$nv/test/iter_030000/eval3d.yml ]; then
-    timeout 1200 python test.py --model_path output/slb_cone_$nv --skip_render_train \
+    flock -w 7200 .bench_data/tpu.lock timeout 1200 python test.py --model_path output/slb_cone_$nv --skip_render_train \
       || echo "SLB$nv TEST FAILED"
   fi
 done
@@ -49,11 +49,11 @@ done
 #    remedy: smaller terminal step sizes stop the noise-fitting drift)
 for ltv in 0.05 0.15 0.3; do
   if ! grep -q "\"tag\": \"ltv$ltv\".*\"iter\": 30000" .bench_data/tv_sweep.jsonl 2>/dev/null; then
-    timeout 2400 python dev/quality_tv_sweep.py $ltv || echo "SWEEP $ltv FAILED"
+    flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/quality_tv_sweep.py $ltv || echo "SWEEP $ltv FAILED"
   fi
 done
 if ! grep -q '"tag": "lrfloor".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev/null; then
-  timeout 2400 python dev/quality_tv_sweep.py 0.05 lrfloor \
+  flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/quality_tv_sweep.py 0.05 lrfloor \
     position_lr_final=5e-6 density_lr_final=2e-4 scaling_lr_final=1e-4 \
     rotation_lr_final=2e-5 || echo "SWEEP lrfloor FAILED"
 fi
@@ -61,17 +61,17 @@ fi
 # remedy: iterate averaging — noise fitting is high-frequency in iteration
 # index and averages out)
 if ! grep -q '"tag": "ema".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev/null; then
-  timeout 2400 python dev/quality_tv_sweep.py 0.05 ema ema_decay=0.999 \
+  flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/quality_tv_sweep.py 0.05 ema ema_decay=0.999 \
     || echo "SWEEP ema FAILED"
 fi
 
 # 5. TPU kernel regression tests (validates the kernels on real HW)
-timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
+flock -w 7200 .bench_data/tpu.lock timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
 
 # 6. batched-step kernel A/B at the 500k state (decide R2G_SPLAT_BATCH default)
 if [ ! -f .bench_data/batch_ab_r3.log ]; then
   for b in 0 2 4 8; do
-    R2G_SPLAT_BATCH=$b timeout 900 python dev/batch_ab.py state_1100.npz \
+    R2G_SPLAT_BATCH=$b flock -w 7200 .bench_data/tpu.lock timeout 900 python dev/batch_ab.py state_1100.npz \
       || echo "BATCH_AB $b FAILED"
   done 2>&1 | tee .bench_data/batch_ab_r3.log
 fi
@@ -81,14 +81,14 @@ fi
 #     bf16 needs the quality gate before any default flip)
 if [ ! -f .bench_data/seldot_ab_r3.log ]; then
   for m in highest split2 bf16; do
-    R2G_SELDOT=$m timeout 900 python dev/batch_ab.py state_1100.npz \
+    R2G_SELDOT=$m flock -w 7200 .bench_data/tpu.lock timeout 900 python dev/batch_ab.py state_1100.npz \
       || echo "SELDOT_AB $m FAILED"
   done 2>&1 | tee .bench_data/seldot_ab_r3.log
 fi
 
 # 7. speed-of-light accounting at the 500k state (VERDICT #5 written bound)
 if ! grep -q '"rates"' .bench_data/mfu_bound.json 2>/dev/null; then
-  timeout 1800 python dev/mfu_bound.py state_1100.npz \
+  flock -w 7200 .bench_data/tpu.lock timeout 1800 python dev/mfu_bound.py state_1100.npz \
     | tee .bench_data/mfu_bound.json || echo "MFU_BOUND FAILED"
 fi
 
