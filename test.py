@@ -142,6 +142,8 @@ def main():
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_render_train", action="store_true")
     parser.add_argument("--skip_render_test", action="store_true")
+    # reference test.py:224: skip the full-volume reconstruction eval
+    parser.add_argument("--skip_recon", action="store_true")
     args = get_combined_args(parser)
     model = lp.extract(args)
     pipe = pp.extract(args)
@@ -166,8 +168,9 @@ def main():
         evaluate_render("render_test", scene.test_cameras, xyz,
                         scales, rots, dens, aux.active,
                         osp.join(out_base, "render_test"), backend)
-    evaluate_volume(scene, xyz, scales, rots, dens, aux.active,
-                    osp.join(out_base, "volume"), backend)
+    if not args.skip_recon:
+        evaluate_volume(scene, xyz, scales, rots, dens, aux.active,
+                        osp.join(out_base, "volume"), backend)
 
 
 if __name__ == "__main__":

@@ -318,12 +318,18 @@ if __name__ == "__main__":
     parser.add_argument("--n_devices", type=int, default=1,
                         help="shard the gaussians over this many devices "
                              "(gaussian-axis mesh, psum render)")
+    # reference train.py:373,402 --detect_anomaly (torch autograd anomaly
+    # mode); the JAX analog re-runs NaN-producing jitted ops op-by-op to
+    # locate the primitive. Debug tool — slows training substantially.
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
     args.test_iterations.append(args.iterations)
     args.test_iterations.append(1)
 
     np.random.seed(args.seed)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     args_dict = vars(args)
     if args.config is not None:
