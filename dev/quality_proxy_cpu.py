@@ -40,7 +40,8 @@ from r2_gaussian_tpu.utils.metrics import metric_vol_psnr, metric_vol_ssim
 TAG = sys.argv[1] if len(sys.argv) > 1 else "base"
 OVERRIDES = dict(kv.split("=", 1) for kv in sys.argv[2:] if "=" in kv)
 
-ITERS = 8000
+import os
+ITERS = int(os.environ.get("R2G_PROXY_ITERS", 8000))
 VOL, DET, N_VIEWS = 64, 64, 25
 
 scanner = {
@@ -67,7 +68,7 @@ else:
 cams = build_cameras(angles, projs, [str(i) for i in range(N_VIEWS)], scanner)
 sb = (0.0005 * 2.0, 0.5 * 2.0)
 params, aux = create_from_pcd(pts[:, :3].astype(np.float32), pts[:, 3], sb,
-                              capacity=8192)
+                              capacity=int(os.environ.get("R2G_PROXY_CAP", 8192)))
 opt = types.SimpleNamespace(
     iterations=ITERS,
     position_lr_init=2e-4, position_lr_final=2e-5, position_lr_max_steps=ITERS,
@@ -81,7 +82,7 @@ opt = types.SimpleNamespace(
     densify_scale_threshold=0.1, max_screen_size=None, max_scale=None,
     # == capacity: keeps _maybe_grow_capacity from triggering a multi-minute
     # CPU recompile mid-run (the densify budget clamps at this population)
-    max_num_gaussians=8192, ema_decay=0.0,
+    max_num_gaussians=int(os.environ.get("R2G_PROXY_CAP", 8192)), ema_decay=0.0,
 )
 for k, v in OVERRIDES.items():
     assert hasattr(opt, k), f"unknown opt field {k}"

@@ -11,6 +11,29 @@ import os
 import os.path as osp
 
 
+def _cache_subdir(plat: str | None) -> str:
+    """Partition the persistent cache by platform, and for CPU by a machine
+    fingerprint: XLA:CPU AOT results encode the compile machine's ISA
+    features, and entries written by a different host load with feature
+    mismatches — measured here as a >50x compile-time blowup (a det-64
+    train step: 11 s cold vs >10 min through a foreign-host cache), with
+    XLA warning the loaded code may SIGILL. TPU entries come from the
+    remote AOT service and stay shared."""
+    plat = (plat or "axon").split(",")[0].strip() or "axon"
+    if plat != "cpu":
+        return "tpu"
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return "cpu-" + hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "cpu-generic"
+
+
 def setup_jax_cache(cache_dir: str | None = None):
     import jax
 
@@ -21,13 +44,24 @@ def setup_jax_cache(cache_dir: str | None = None):
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    cache_dir = cache_dir or os.environ.get(
+    base = cache_dir or os.environ.get(
         "R2G_JAX_CACHE",
         osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
                  ".jax_cache"),
     )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    full = osp.join(base, _cache_subdir(plat))
+    os.makedirs(full, exist_ok=True)
+    # one-time migration of pre-partition entries: tunnel-compiled TPU
+    # executables are minutes each and must stay warm; foreign-host CPU
+    # entries parked there are dead weight (keys never match on TPU)
+    try:
+        os.makedirs(osp.join(base, "tpu"), exist_ok=True)
+        for name in os.listdir(base):
+            if name.endswith("-cache") and osp.isfile(osp.join(base, name)):
+                os.replace(osp.join(base, name), osp.join(base, "tpu", name))
+    except OSError:
+        pass
+    jax.config.update("jax_compilation_cache_dir", full)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
