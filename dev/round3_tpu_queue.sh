@@ -10,6 +10,9 @@ set -x
 cd /root/repo
 mkdir -p .bench_data output
 
+# 0. datasets (data/ is gitignored and a re-image wipes it — rebuild first)
+bash dev/stage_datasets.sh || echo "STAGING FAILED"
+
 # 1. headline bench FIRST — guarantees a driver-verifiable number exists
 if ! grep -q '"vs_baseline": [0-9]' .bench_data/bench_r3_early.json 2>/dev/null; then
   timeout 1800 python bench.py | tee .bench_data/bench_r3_early.json \
@@ -67,6 +70,12 @@ fi
 
 # 5. TPU kernel regression tests (validates the kernels on real HW)
 flock -w 7200 .bench_data/tpu.lock timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
+
+# 5b. the 500k stress state the A/Bs and the census run at (re-image wipes it)
+if [ ! -f .bench_data/state_1100.npz ]; then
+  flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/make_stress_state.py 1100 \
+    || echo "STRESS STATE FAILED"
+fi
 
 # 6. batched-step kernel A/B at the 500k state (decide R2G_SPLAT_BATCH default)
 if [ ! -f .bench_data/batch_ab_r3.log ]; then
