@@ -99,6 +99,7 @@ def main():
         from r2_gaussian_tpu.models.gaussians import activate, create_from_pcd
         from r2_gaussian_tpu.models.render import query
         from r2_gaussian_tpu.utils.metrics import metric_vol_psnr
+        from r2_gaussian_tpu.utils.runtime import retry_transient
 
         vol_to_world = max(scene.scanner_cfg["sVoxel"])
         scale_bound = None
@@ -106,8 +107,8 @@ def main():
             scale_bound = (args.scale_min * vol_to_world, args.scale_max * vol_to_world)
         params, aux = create_from_pcd(out[:, :3], out[:, 3], scale_bound)
         xyz, scales, rots, dens = activate(params, scale_bound)
-        vol_pred = query(
-            xyz, scales, rots, dens,
+        vol_pred = retry_transient(
+            query, xyz, scales, rots, dens,
             center=scene.scanner_cfg["offOrigin"],
             n_voxel=tuple(int(v) for v in scene.scanner_cfg["nVoxel"]),
             s_voxel=scene.scanner_cfg["sVoxel"],

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dense_reference
+from ..utils.runtime import retry_transient
 from .preprocess import cov3d_components, preprocess
 from .voxel_preprocess import voxel_preprocess, voxel_touch_mask
 
@@ -137,7 +138,8 @@ def render_views(xyz, scales, rotations, densities, cams, *, active=None,
         fps = np.concatenate([fps, np.repeat(fps[-1:], pad, axis=0)])
     out = []
     for i in range(0, n_views + pad, chunk):
-        out.append(np.asarray(_render_views_jit(
+        out.append(np.asarray(retry_transient(
+            _render_views_jit,
             xyz, scales, rotations, densities, active,
             jnp.asarray(w2cs[i:i + chunk]), jnp.asarray(fps[i:i + chunk]),
             cams.tanfovx, cams.tanfovy,
@@ -168,8 +170,8 @@ def query_volume(
 
     nx, ny, nz = (int(v) for v in n_voxel)
     if nz <= slab:
-        return query(
-            xyz, scales, rotations, densities,
+        return retry_transient(
+            query, xyz, scales, rotations, densities,
             center=center, n_voxel=n_voxel, s_voxel=s_voxel,
             active=active, backend=backend,
         )["vol"]
@@ -183,8 +185,8 @@ def query_volume(
         c_slab[2] = center[2] - s_vox[2] / 2 + (z0 + slab / 2) * d_z
         s_slab = np.array([s_vox[0], s_vox[1], d_z * slab])
         out.append(
-            query(
-                xyz, scales, rotations, densities,
+            retry_transient(
+                query, xyz, scales, rotations, densities,
                 center=c_slab, n_voxel=(nx, ny, slab), s_voxel=s_slab,
                 active=active, backend=backend,
             )["vol"]

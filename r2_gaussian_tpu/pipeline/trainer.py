@@ -26,6 +26,7 @@ import numpy as np
 from ..dataset.geometry import Cameras
 from ..models.gaussians import GaussianAux, GaussianParams, activate
 from ..models.render import query, render
+from ..utils.runtime import retry_transient
 from ..utils.losses import l1_loss, ssim, tv_3d_loss
 from .densify import DensifyConfig, densify_and_prune
 from .optim import AdamState, adam_update, group_lrs, init_adam
@@ -369,8 +370,8 @@ class Trainer:
         # syncs every kernel launch — debug mode trades speed for evidence)
         state_host = (None if self.debug_dir is None
                       else jax.tree.map(np.asarray, self.state))
-        self.state, metrics = fn(
-            self.state, jnp.asarray(views), keys, jnp.asarray(skip),
+        self.state, metrics = retry_transient(
+            fn, self.state, jnp.asarray(views), keys, jnp.asarray(skip),
             jnp.int32(self.iteration),
         )
         # Sync per dispatch: queueing several multi-second dispatches makes

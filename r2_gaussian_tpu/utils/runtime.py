@@ -65,6 +65,40 @@ def setup_jax_cache(cache_dir: str | None = None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# Error-message markers of the transient remote-AOT-compile failure class
+# observed on the tunneled TPU (the compile helper subprocess sporadically
+# exits 1 and the dispatch raises INTERNAL with an HTTP 500). Compilation is
+# idempotent and happens before donated buffers are consumed, so re-issuing
+# the same dispatch is safe; markers are kept narrow so genuine executable
+# errors (OOM, lowering bugs) still raise immediately.
+_TRANSIENT_MARKERS = ("remote_compile", "tpu_compile_helper", "HTTP 500")
+
+
+def retry_transient(fn, *args, **kwargs):
+    """Call fn(*args, **kwargs), retrying with backoff when it dies in the
+    transient remote-compile failure class. A 30k-iteration training run
+    crosses dozens of first-compile points (new dispatch shapes after
+    capacity growth, eval renders, full-volume queries); without this, one
+    flaky compile-service response kills an hours-long run."""
+    import time
+
+    attempts = int(os.environ.get("R2G_COMPILE_RETRIES", 4))
+    for attempt in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # jax.errors.JaxRuntimeError et al.
+            msg = str(e)
+            if (attempt == attempts - 1
+                    or not any(m in msg for m in _TRANSIENT_MARKERS)):
+                raise
+            import sys
+
+            print(f"transient compile failure (attempt {attempt + 1}/"
+                  f"{attempts}), retrying: {msg.splitlines()[0][:200]}",
+                  file=sys.stderr, flush=True)
+            time.sleep(10.0 * (attempt + 1))
+
+
 def safe_state(seed: int = 0, quiet: bool = False):
     """Deterministic seeding (reference general_utils.py:35-64)."""
     import random
