@@ -67,11 +67,20 @@ if ! grep -q '"tag": "ema".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev/nul
   flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/quality_tv_sweep.py 0.05 ema ema_decay=0.999 \
     || echo "SWEEP ema FAILED"
 fi
+# Fast-decay schedule + low floors: reach terminal (tiny) LRs by 10k so the
+# model freezes near its peak instead of drifting into the noise for 20k
+# more iterations. EMA alone follows the drift (its 1k-iter window is short
+# vs the drift timescale); lrfloor alone only bites after ~20k. This is the
+# combined remedy the round-2 semiconvergence study points at.
+if ! grep -q '"tag": "lrfast".*"iter": 30000' .bench_data/tv_sweep.jsonl 2>/dev/null; then
+  flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/quality_tv_sweep.py 0.05 lrfast \
+    position_lr_final=5e-6 density_lr_final=2e-4 scaling_lr_final=1e-4 \
+    rotation_lr_final=2e-5 position_lr_max_steps=10000 \
+    density_lr_max_steps=10000 scaling_lr_max_steps=10000 \
+    rotation_lr_max_steps=10000 ema_decay=0.999 || echo "SWEEP lrfast FAILED"
+fi
 
-# 5. TPU kernel regression tests (validates the kernels on real HW)
-flock -w 7200 .bench_data/tpu.lock timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
-
-# 5b. the 500k stress state the A/Bs and the census run at (re-image wipes it)
+# 5. the 500k stress state the A/Bs and the census run at (re-image wipes it)
 if [ ! -f .bench_data/state_1100.npz ]; then
   flock -w 7200 .bench_data/tpu.lock timeout 2400 python dev/make_stress_state.py 1100 \
     || echo "STRESS STATE FAILED"
@@ -101,7 +110,11 @@ if ! grep -q '"rates"' .bench_data/mfu_bound.json 2>/dev/null; then
     | tee .bench_data/mfu_bound.json || echo "MFU_BOUND FAILED"
 fi
 
-# 8. render the collected quality artifacts as markdown tables
+# 8. TPU kernel regression tests (validates the kernels on real HW) — after
+#    the A/B + bound evidence so a tight round still lands VERDICT #5 first
+flock -w 7200 .bench_data/tpu.lock timeout 1800 python -m pytest tests_tpu/ -x -q || echo "TPU TESTS FAILED"
+
+# 9. render the collected quality artifacts as markdown tables
 python dev/collect_results.py || true
 
 echo "ROUND3 QUEUE DONE"

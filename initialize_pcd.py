@@ -97,9 +97,8 @@ def main():
         import jax.numpy as jnp
 
         from r2_gaussian_tpu.models.gaussians import activate, create_from_pcd
-        from r2_gaussian_tpu.models.render import query
+        from r2_gaussian_tpu.models.render import query_volume
         from r2_gaussian_tpu.utils.metrics import metric_vol_psnr
-        from r2_gaussian_tpu.utils.runtime import retry_transient
 
         vol_to_world = max(scene.scanner_cfg["sVoxel"])
         scale_bound = None
@@ -107,14 +106,17 @@ def main():
             scale_bound = (args.scale_min * vol_to_world, args.scale_max * vol_to_world)
         params, aux = create_from_pcd(out[:, :3], out[:, 3], scale_bound)
         xyz, scales, rots, dens = activate(params, scale_bound)
-        vol_pred = retry_transient(
-            query, xyz, scales, rots, dens,
+        # z-slab-chunked query: the full-volume pallas kernel's 256^3 f32
+        # scratch (64 MB) pushed total program vmem past the 128 MB chip
+        # budget; query_volume bounds the slab accumulator to 8 MB.
+        vol_pred = query_volume(
+            xyz, scales, rots, dens,
             center=scene.scanner_cfg["offOrigin"],
             n_voxel=tuple(int(v) for v in scene.scanner_cfg["nVoxel"]),
             s_voxel=scene.scanner_cfg["sVoxel"],
             active=aux.active,
             backend="pallas" if jnp.zeros(1).devices().pop().platform == "tpu" else "dense",
-        )["vol"]
+        )
         psnr = metric_vol_psnr(scene.vol_gt, np.asarray(vol_pred))
         print(f"3D PSNR for initial Gaussians: {psnr}")
 

@@ -8,6 +8,7 @@ Both take activated parameter arrays and are fully differentiable. The
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -104,14 +105,19 @@ def _render_views_jit(xyz, scales, rotations, densities, active, w2cs,
             mode=mode, active=active, backend=backend, footprint=footprint,
             kernel=kernel,
         )["render"]
-        return None, img
+        # Keep the splat kernel's custom-call from fusing with the scan's
+        # dynamic-update-slice: XLA:TPU stack-allocates that fused
+        # [chunk, H, W] output in scoped VMEM inside the while body
+        # (22.7 MB > the 16 MB scoped limit at 512^2 -> compile OOM on
+        # v5e). The barrier materializes the per-view image in HBM first.
+        return None, jax.lax.optimization_barrier(img)
 
     _, imgs = jax.lax.scan(one, None, (w2cs, full_projs))
     return imgs
 
 
 def render_views(xyz, scales, rotations, densities, cams, *, active=None,
-                 backend: str = "auto", chunk: int = 25,
+                 backend: str = "auto", chunk: int | None = None,
                  footprint: str = "tile", kernel: str = "direct"):
     """Render every view of a camera stack in chunked multi-view dispatches.
 
@@ -123,12 +129,19 @@ def render_views(xyz, scales, rotations, densities, cams, *, active=None,
     itself, so distinct splits never share a stale closure (each distinct
     (width, height, mode) combination gets its own jit cache entry).
 
+    The scan body carries an optimization barrier (see `one` below) so the
+    stacked [chunk, H, W] output stays in HBM rather than scoped VMEM.
+    Default chunk is 8 (R2G_EVAL_CHUNK to override): enough to amortize
+    dispatch latency ~10x while keeping each dispatch's footprint small.
+
     Returns a numpy array [n_views, H, W].
     """
     import numpy as np
 
     n_views = len(cams)
     backend = _resolve_backend(backend)
+    if chunk is None:
+        chunk = int(os.environ.get("R2G_EVAL_CHUNK", "8"))
     chunk = max(1, min(chunk, n_views))
     w2cs = np.asarray(cams.w2c, np.float32)
     fps = np.asarray(cams.full_proj, np.float32)
