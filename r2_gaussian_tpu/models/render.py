@@ -143,6 +143,28 @@ def render_views(xyz, scales, rotations, densities, cams, *, active=None,
     if chunk is None:
         chunk = int(os.environ.get("R2G_EVAL_CHUNK", "8"))
     chunk = max(1, min(chunk, n_views))
+
+    # Compact to the active rows before dispatching: the training state is
+    # capacity-padded (e.g. 262k rows for ~57k live gaussians) and splat
+    # cost scales with rows, so eval renders at full capacity waste ~4x.
+    # Padding the gather to an 8192 multiple bounds the jit cache to a few
+    # entries as the model densifies. Row order is preserved (a subset of
+    # a Morton-sorted state stays Morton-sorted).
+    if active is not None:
+        mask = np.asarray(active)
+        n_act = int(mask.sum())
+        pad_to = max(8192, -(-n_act // 8192) * 8192)
+        if pad_to < mask.size:
+            idx = np.zeros(pad_to, np.int32)
+            idx[:n_act] = np.flatnonzero(mask)
+            take = jnp.asarray(idx)
+            xyz = jnp.take(xyz, take, axis=0)
+            scales = jnp.take(scales, take, axis=0)
+            rotations = jnp.take(rotations, take, axis=0)
+            densities = jnp.take(densities, take, axis=0)
+            new_mask = np.zeros(pad_to, bool)
+            new_mask[:n_act] = True
+            active = jnp.asarray(new_mask)
     w2cs = np.asarray(cams.w2c, np.float32)
     fps = np.asarray(cams.full_proj, np.float32)
     pad = (-n_views) % chunk

@@ -173,3 +173,48 @@ def test_render_views_matches_per_view():
         )["render"])
         # scan-vs-standalone XLA fusion differences are ~1e-7 absolute
         np.testing.assert_allclose(batched[i], ref, rtol=1e-5, atol=5e-7)
+
+
+def test_render_views_compacts_active_rows():
+    """render_views gathers the active rows out of a capacity-padded state
+    before dispatching (capacity 16384, 120 live rows -> one 8192 gather)
+    and must still reproduce per-view render() on the full padded state."""
+    import jax.numpy as jnp
+
+    from r2_gaussian_tpu.dataset.geometry import build_cameras
+    from r2_gaussian_tpu.models.render import render, render_views
+
+    det = 16
+    scanner = {
+        "mode": "cone", "DSD": 7.0, "DSO": 5.0,
+        "nDetector": [det, det], "sDetector": [4.0, 4.0],
+        "nVoxel": [16] * 3, "sVoxel": [2.0] * 3,
+        "dVoxel": [2.0 / 16] * 3,
+        "offOrigin": [0.0, 0.0, 0.0], "offDetector": [0.0, 0.0],
+    }
+    n_views = 3
+    angles = np.linspace(0, 2 * np.pi, n_views + 1)[:-1]
+    cams = build_cameras(angles, np.zeros((n_views, det, det), np.float32),
+                         [str(i) for i in range(n_views)], scanner)
+    rng = np.random.default_rng(7)
+    cap = 16384
+    xyz = jnp.asarray(rng.uniform(-0.6, 0.6, (cap, 3)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.02, 0.08, (cap, 3)).astype(np.float32))
+    rots = rng.standard_normal((cap, 4)).astype(np.float32)
+    rots = jnp.asarray(rots / np.linalg.norm(rots, axis=1, keepdims=True))
+    dens = jnp.asarray(rng.uniform(0.1, 1.0, cap).astype(np.float32))
+    mask = np.zeros(cap, bool)
+    mask[rng.choice(cap, 120, replace=False)] = True
+    active = jnp.asarray(mask)
+
+    batched = render_views(xyz, scales, rots, dens, cams, active=active,
+                           backend="dense", chunk=2)
+    assert batched.shape == (n_views, det, det)
+    for i in range(n_views):
+        ref = np.asarray(render(
+            xyz, scales, rots, dens,
+            w2c=jnp.asarray(cams.w2c[i]), full_proj=jnp.asarray(cams.full_proj[i]),
+            width=det, height=det, tanfovx=cams.tanfovx, tanfovy=cams.tanfovy,
+            mode=cams.mode, active=active, backend="dense",
+        )["render"])
+        np.testing.assert_allclose(batched[i], ref, rtol=1e-5, atol=5e-7)
