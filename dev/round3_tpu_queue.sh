@@ -23,8 +23,8 @@ fi
 if [ ! -f output/chest_cone_50/point_cloud/iteration_30000/point_cloud.pickle ]; then
   flock -w 7200 .bench_data/tpu.lock timeout 3600 python -u train.py \
     --source_path data/chest_synth/chest_cone_50 \
-    --model_path output/chest_cone_50 \
-    --test_iterations 1 5000 10000 15000 20000 25000 30000 \
+    --model_path output/chest_cone_50 --debug \
+    --test_iterations 1 5000 7500 10000 15000 20000 25000 30000 \
     --save_iterations 30000 || echo "CHEST TRAIN FAILED"
 fi
 if [ ! -f output/chest_cone_50/test/iter_030000/eval3d.yml ]; then

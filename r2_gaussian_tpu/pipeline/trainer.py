@@ -136,8 +136,15 @@ def make_train_fn(
                 state.params, d2, state.aux.active, view_indices[k], keys[k]
             )
 
+            # A non-finite loss means the grads are poison: reject the whole
+            # step (params, Adam moments, EMA, densify stats) instead of
+            # letting one bad iteration NaN the state permanently. The
+            # reference leaves this to --detect_anomaly; here rejection is
+            # one predicated select on the already-computed update.
+            ok = jnp.isfinite(total)
+
             # densification stats (train.py:149-154)
-            visible = radii > 0
+            visible = (radii > 0) & ok
             grad_norm = jnp.linalg.norm(gd2, axis=-1)
             aux = state.aux
             aux = aux._replace(
@@ -153,7 +160,7 @@ def make_train_fn(
 
             lrs = group_lrs(opt_cfg, iteration)
             new_p, new_adam = adam_update(state.params, gp, state.adam, lrs)
-            skip = skip_update[k]
+            skip = skip_update[k] | ~ok
             new_p = jax.tree.map(
                 lambda a, b: jnp.where(skip, a, b), state.params, new_p
             )
@@ -391,10 +398,16 @@ class Trainer:
 
     def _dump_snapshot(self, state_in, views, keys, skip, metrics):
         """Non-finite loss under --debug: persist everything needed to
-        replay the offending dispatch, then raise (reference
-        rasterization.py:80-93 snapshot_fw.dump)."""
+        replay the offending dispatch (reference rasterization.py:80-93
+        snapshot_fw.dump). Unlike the reference this does NOT abort: the
+        trainer rejects non-finite updates (train_steps_body), so the
+        state is still clean and training can continue — the snapshot is
+        the forensic record of the first bad dispatch."""
         import os
 
+        if getattr(self, "_debug_dumped", False):
+            return
+        self._debug_dumped = True
         os.makedirs(self.debug_dir, exist_ok=True)
         path = os.path.join(self.debug_dir, "snapshot_fw.npz")
         p, a = state_in.params, state_in.aux
@@ -412,10 +425,11 @@ class Trainer:
             scale_bound=np.asarray(self.scale_bound, np.float32)
             if self.scale_bound is not None else np.zeros(0, np.float32),
         )
-        raise FloatingPointError(
-            f"non-finite loss at iterations {self.iteration + 1}.."
-            f"{self.iteration + len(np.asarray(views))}; dispatch snapshot "
-            f"written to {path}"
+        print(
+            f"WARNING: non-finite loss at iterations {self.iteration + 1}.."
+            f"{self.iteration + len(np.asarray(views))}; updates rejected, "
+            f"dispatch snapshot written to {path}",
+            flush=True,
         )
 
     def densify(self):

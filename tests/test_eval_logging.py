@@ -87,9 +87,10 @@ def test_export_ellipsoids_ply(tmp_path):
 
 
 def test_debug_snapshot_on_nonfinite(tmp_path, tiny_trainer=None):
-    """--debug dumps the dispatch inputs and raises on a non-finite loss."""
+    """--debug dumps the first bad dispatch's inputs on a non-finite loss
+    and training continues (the trainer rejects non-finite updates, so the
+    state stays clean — dump-and-continue, not dump-and-abort)."""
     import numpy as np
-    import pytest
 
     from r2_gaussian_tpu.dataset.geometry import build_cameras
     from r2_gaussian_tpu.models.gaussians import create_from_pcd
@@ -123,12 +124,14 @@ def test_debug_snapshot_on_nonfinite(tmp_path, tiny_trainer=None):
     )
     tr = Trainer(cams, scanner, opt, (0.001, 1.0), params, aux,
                  backend="dense", debug_dir=str(tmp_path))
-    with pytest.raises(FloatingPointError, match="snapshot"):
-        tr.run_chunk(2)
+    tr.run_chunk(2)
     snap = np.load(tmp_path / "snapshot_fw.npz")
     assert snap["xyz"].shape == (128, 3)
     assert np.isfinite(snap["xyz"]).all()  # pre-dispatch state, not the NaNs
     assert snap["views"].shape == (2,)
+    mtime = (tmp_path / "snapshot_fw.npz").stat().st_mtime_ns
+    tr.run_chunk(2)  # still non-finite; must not crash or re-dump
+    assert (tmp_path / "snapshot_fw.npz").stat().st_mtime_ns == mtime
 
 
 def test_render_views_matches_per_view():

@@ -92,3 +92,26 @@ def test_training_improves_psnr(tiny_scene):
     assert trainer.iteration == 300
     # densification ran (iteration 100 and 200 qualify: >99, <250)
     assert n_active is None or n_active > 0
+
+
+def test_nonfinite_loss_rejects_update(tiny_scene):
+    """A non-finite loss must not poison the state: the step is rejected
+    (params, Adam moments, densify stats all carried through unchanged).
+    Every projection is NaN here, so every step's loss is non-finite and
+    the parameters must come out bit-identical to the initialization."""
+    import jax
+
+    vol, scanner, cams = tiny_scene
+    bad_projs = np.full_like(np.asarray(cams.images), np.nan)
+    angles = np.linspace(0, 2 * np.pi, 9)[:-1]
+    bad_cams = build_cameras(angles, bad_projs,
+                             [f"{i}" for i in range(8)], scanner)
+    params, aux = init_from_volume(vol, scanner)
+    trainer = Trainer(bad_cams, scanner, small_opt_cfg(), None, params, aux,
+                      backend="dense")
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    metrics, _ = trainer.run_chunk(6)
+    assert not np.isfinite(metrics[:, 0]).any()  # losses were non-finite
+    p1 = jax.tree.map(np.asarray, trainer.state.params)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a, b)

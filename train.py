@@ -164,11 +164,18 @@ def evaluate(trainer, scene, iteration, tb_writer, backend):
             tb_writer.add_scalar("reconstruction/ssim_3d", ssim_3d, iteration)
     if tb_writer:
         # activated density histogram over live gaussians
-        # (reference train.py:357-360)
-        tb_writer.add_histogram(
-            "scene/density_histogram", np.asarray(dens)[np.asarray(active)],
-            global_step=iteration,
-        )
+        # (reference train.py:357-360); non-finite values would make
+        # tensorboardX raise on an empty histogram, and a diverged run
+        # should keep evaluating rather than crash at the logging call
+        dvals = np.asarray(dens)[np.asarray(active)]
+        dvals = dvals[np.isfinite(dvals)]
+        if dvals.size:
+            tb_writer.add_histogram(
+                "scene/density_histogram", dvals, global_step=iteration,
+            )
+        else:
+            tqdm.write(f"[ITER {iteration}] WARNING: no finite densities "
+                       "among active gaussians — skipping histogram")
     p2 = results.get("render_test", results.get("render_train", {}))
     tqdm.write(
         f"[ITER {iteration}] Evaluating: psnr3d {psnr_3d if psnr_3d is not None else float('nan'):.3f}, "
