@@ -98,7 +98,10 @@ def render_dense_untruncated(
             -0.5 * (cxx[None] * dx * dx + cyy[None] * dy * dy)
             - cxy[None] * dx * dy
         )
-        return jnp.sum(prep_c.weight[None] * jnp.exp(power), axis=1)
+        # exact for a PSD conic (power <= 0 holds); bounds f32
+        # cancellation on degenerate rows, mirroring the kernels
+        return jnp.sum(prep_c.weight[None] * jnp.exp(jnp.minimum(power, 0.0)),
+                       axis=1)
 
     n = prep.mean2d.shape[0]
     if n <= gaussian_chunk:

@@ -533,7 +533,14 @@ def build_lowrank_features3(prep: VoxelPreprocessed):
     detr = jnp.maximum(idq * ifq - ie * ie, 1e-30)
     g = (ib * (ifq * ib - ie * ic) + ic * (idq * ic - ie * ib)) / detr
     rho3sq = g / iaq
-    spill = valid & (rho3sq > RHO3_MAX * RHO3_MAX)
+    # The Schur form (-2pyy, -pyz; -pyz, -2pzz) is PSD whenever the conic
+    # is, but the cofactor inverse is computed in f32 and extreme
+    # anisotropy (thin plates: scale ratios ~1e3, seen on chest-like data)
+    # can cancel it into an indefinite matrix — exp(+huge) -> inf -> NaN
+    # through the MXU factor matmul. Spill such rows to the exact path,
+    # whose power<=0 cutoff masks them per-voxel.
+    psd = (pyy <= 0.0) & (pzz <= 0.0) & (4.0 * pyy * pzz >= pyz * pyz)
+    spill = valid & ((rho3sq > RHO3_MAX * RHO3_MAX) | ~psd)
     wq = jnp.where(spill, 0.0, wq)
     zero = jnp.zeros_like(wq)
     feats = [
@@ -579,7 +586,13 @@ def _lr3_factors(d, nx: int, vz: int, nlanes: int):
     dy = lyf - cy  # (nlanes, G)
     dz = lzf - cz
     sh = sb * dy + sc * dz
-    ee = jnp.exp(dy * (pyy * dy + pyz * dz) + pzz * (dz * dz))
+    # The Schur exponent is <= 0 for a PSD Schur complement, so the clamp
+    # is exact on healthy rows; it bounds residual f32 wobble (indefinite
+    # rows are already spilled in build_lowrank_features3, but per-voxel
+    # cancellation can still nudge the exponent past 0 -> exp overflow).
+    # The hand-written backward reuses these ws, so value and grad stay
+    # consistent (clamped rows get the E=1 envelope in both).
+    ee = jnp.exp(jnp.minimum(dy * (pyy * dy + pyz * dz) + pzz * (dz * dz), 0.0))
     ws = [ee]
     for k in range(1, K_3D):
         w_ = sh * ws[-1]
