@@ -590,8 +590,9 @@ def _lr3_factors(d, nx: int, vz: int, nlanes: int):
     # is exact on healthy rows; it bounds residual f32 wobble (indefinite
     # rows are already spilled in build_lowrank_features3, but per-voxel
     # cancellation can still nudge the exponent past 0 -> exp overflow).
-    # The hand-written backward reuses these ws, so value and grad stay
-    # consistent (clamped rows get the E=1 envelope in both).
+    # The hand-written backward reuses these ws and masks the D-channel
+    # cotangent where the clamp is active (_lr3_bwd_kernel), so value and
+    # grad stay consistent on clamped voxels too.
     ee = jnp.exp(jnp.minimum(dy * (pyy * dy + pyz * dz) + pzz * (dz * dz), 0.0))
     ws = [ee]
     for k in range(1, K_3D):
@@ -675,6 +676,12 @@ def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, *, nx, vz,
             dd = dd + dWk[k] * ws[k]
             if k > 1:
                 d_sh = d_sh + (1.0 * k) * (dWk[k] * ws[k - 1])
+        # exactness under the exp clamp in _lr3_factors: where min(expo, 0)
+        # is active E == 1 is constant, so dE/dD = 0 there, not E — mask the
+        # D-channel cotangent (indefinite rows are already spilled upstream;
+        # this closes the residual f32-wobble boundary)
+        expo = dy * (pyy * dy + pyz * dz) + pzz * (dz * dz)
+        dd = dd * (expo < 0.0).astype(dd.dtype)
         gy = dd * dy
         gz = dd * dz
         s1, s4, s5 = rsum(d_sh), rsum(gy), rsum(gz)

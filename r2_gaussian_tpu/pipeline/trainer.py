@@ -140,8 +140,15 @@ def make_train_fn(
             # step (params, Adam moments, EMA, densify stats) instead of
             # letting one bad iteration NaN the state permanently. The
             # reference leaves this to --detect_anomaly; here rejection is
-            # one predicated select on the already-computed update.
-            ok = jnp.isfinite(total)
+            # one predicated select on the already-computed update. A finite
+            # loss does NOT imply finite grads (a NaN can be introduced only
+            # in the backward pass), so also AND in one cheap reduction over
+            # the gradient pytree: any NaN/Inf leaf propagates to the sum.
+            gsum = sum(
+                jnp.sum(g) for g in jax.tree.leaves(gp)
+                if jnp.issubdtype(g.dtype, jnp.inexact)
+            ) + jnp.sum(gd2)
+            ok = jnp.isfinite(total) & jnp.isfinite(gsum)
 
             # densification stats (train.py:149-154)
             visible = (radii > 0) & ok
@@ -387,8 +394,10 @@ class Trainer:
         # jax.block_until_ready returns before execution finishes (measured),
         # which both under-syncs and corrupts wall-clock timing.
         metrics = np.asarray(metrics)
-        if self.debug_dir is not None and not np.isfinite(metrics).all():
-            self._dump_snapshot(state_host, views, keys, skip, metrics)
+        if not np.isfinite(metrics).all():
+            self._note_nonfinite(n_steps)
+            if self.debug_dir is not None:
+                self._dump_snapshot(state_host, views, keys, skip, metrics)
         self.iteration += n_steps
 
         n_active = None
@@ -396,13 +405,30 @@ class Trainer:
             n_active = self.densify()
         return metrics, n_active
 
+    def _note_nonfinite(self, n_steps):
+        """Always-on, rate-limited visibility for rejected steps (with or
+        without --debug): a fully-diverged run that silently rejects every
+        step for hours is worse than a noisy log. Prints the first 5
+        occurrences, then every 50th."""
+        self._nonfinite_chunks = getattr(self, "_nonfinite_chunks", 0) + 1
+        c = self._nonfinite_chunks
+        if c <= 5 or c % 50 == 0:
+            print(
+                f"WARNING: non-finite loss in iterations "
+                f"{self.iteration + 1}..{self.iteration + n_steps}; updates "
+                f"for the affected steps were rejected "
+                f"({c} chunk(s) affected so far)",
+                flush=True,
+            )
+
     def _dump_snapshot(self, state_in, views, keys, skip, metrics):
         """Non-finite loss under --debug: persist everything needed to
         replay the offending dispatch (reference rasterization.py:80-93
         snapshot_fw.dump). Unlike the reference this does NOT abort: the
         trainer rejects non-finite updates (train_steps_body), so the
         state is still clean and training can continue — the snapshot is
-        the forensic record of the first bad dispatch."""
+        the forensic record of the first bad dispatch. Only the npz dump is
+        deduplicated; warnings keep printing via _note_nonfinite."""
         import os
 
         if getattr(self, "_debug_dumped", False):

@@ -82,15 +82,27 @@ def retry_transient(fn, *args, **kwargs):
     flaky compile-service response kills an hours-long run."""
     import time
 
-    attempts = int(os.environ.get("R2G_COMPILE_RETRIES", 4))
+    # clamp: a mis-set R2G_COMPILE_RETRIES=0 must not silently skip the call
+    # and return None (that would poison Trainer.run_chunk's state far from
+    # the cause) — at least one attempt always runs
+    attempts = max(1, int(os.environ.get("R2G_COMPILE_RETRIES", 4)))
+    first_exc = None
     for attempt in range(attempts):
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # jax.errors.JaxRuntimeError et al.
             msg = str(e)
+            # the dispatches this wraps donate their input buffers; if a
+            # marker-matching failure ever surfaced AFTER donation, the
+            # retry hits deleted buffers — re-raise the ORIGINAL failure so
+            # the root cause isn't masked by the confusing secondary error
+            if first_exc is not None and (
+                    "deleted" in msg.lower() or "donat" in msg.lower()):
+                raise first_exc
             if (attempt == attempts - 1
                     or not any(m in msg for m in _TRANSIENT_MARKERS)):
                 raise
+            first_exc = e
             import sys
 
             print(f"transient compile failure (attempt {attempt + 1}/"
