@@ -9,10 +9,21 @@ to match the characteristics of the reference's benchmark data (real CT
 volumes, detector/recon band-limited): on the raw piecewise-constant
 phantom a gaussian mixture caps at ~27 dB PSNR3D from O(sigma) edge error,
 while the band-limited variant reaches the reference's 35-41 dB range and
-produces a comparable densification trajectory (the speed-relevant part). Measures steady it/s over iterations 600-1100 with
-densification events included, which is the regime that dominates the
-reference's 5-15 min time-to-30k (README.md:316 => ~33-100 it/s on an
-RTX 3090; vs_baseline is measured against the midpoint ~50 it/s).
+produces a comparable densification trajectory (the speed-relevant part).
+Measures steady it/s over iterations 600-1100 with densification events
+included, which is the regime that dominates the reference's 5-15 min
+time-to-30k (README.md:316 => ~33-100 it/s on an RTX 3090; vs_baseline is
+measured against the midpoint ~50 it/s).
+
+Capture hardening (round 4): the process that the driver invokes is a thin
+WATCHDOG that never imports jax. It spawns the real bench as a child
+(`bench.py --worker`), enforces a wall-clock budget (BENCH_BUDGET_S,
+default 1020 s), and converts every failure mode — child hang, tunnel
+death, SIGTERM from an outer `timeout` — into ONE structured JSON line on
+stdout before the external kill can land. The worker checkpoints a running
+throughput measurement to .bench_data/bench_progress.json after every
+chunk, so even a mid-measurement kill yields a real (partial) number
+instead of an empty capture.
 
 The generated case + FDK init are cached under .bench_data/ so repeat runs
 skip datagen. Set BENCH_REGEN=1 to force regeneration.
@@ -21,6 +32,7 @@ skip datagen. Set BENCH_REGEN=1 to force regeneration.
 import json
 import os
 import os.path as osp
+import signal
 import sys
 import time
 import types
@@ -30,11 +42,146 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 import numpy as np
 
 CACHE_DIR = osp.join(osp.dirname(osp.abspath(__file__)), ".bench_data")
+PROGRESS_PATH = osp.join(CACHE_DIR, "bench_progress.json")
+PRIORITY_PATH = osp.join(CACHE_DIR, "bench_priority")
 
+
+# --------------------------------------------------------------------------
+# watchdog parent — no jax, guaranteed to print one JSON line and exit 0
+# --------------------------------------------------------------------------
+
+def _last_measured_metadata():
+    """Newest mid-round measurement, surfaced as skip-line metadata (value
+    stays null — a cached number is not a live driver measurement)."""
+    try:
+        import glob
+
+        cands = sorted(glob.glob(osp.join(CACHE_DIR, "bench_r*_early.json")),
+                       key=osp.getmtime)
+        if not cands:
+            return None
+        with open(cands[-1]) as f:
+            for line in reversed(f.read().strip().splitlines()):
+                try:
+                    prior = json.loads(line)
+                except ValueError:
+                    continue
+                if prior.get("value") is not None:
+                    prior["artifact"] = osp.basename(cands[-1])
+                    prior["measured_at"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ",
+                        time.gmtime(osp.getmtime(cands[-1])))
+                    return prior
+    except Exception:
+        pass
+    return None
+
+
+def _read_progress():
+    try:
+        with open(PROGRESS_PATH) as f:
+            return json.loads(f.read())
+    except Exception:
+        return None
+
+
+def _skip_json(reason):
+    out = {
+        "metric": "train_iters_per_sec", "value": None, "unit": "it/s",
+        "vs_baseline": None, "skipped": True, "reason": reason[:400],
+    }
+    lm = _last_measured_metadata()
+    if lm:
+        out["last_measured"] = lm
+    return out
+
+
+def _emit_best(reason, started_at):
+    """Best-available JSON: a live partial measurement from the progress
+    file beats a skip line; a skip line still carries last_measured."""
+    prog = _read_progress()
+    if (prog and prog.get("started_at", 0) >= started_at - 1
+            and prog.get("value")):
+        prog.pop("started_at", None)
+        prog["partial"] = True
+        prog.setdefault("detail", {})["watchdog_reason"] = reason[:200]
+        return prog
+    phase = (prog or {}).get("phase", "no progress file")
+    return _skip_json(f"{reason}; worker phase: {phase}")
+
+
+def watchdog():
+    import subprocess
+    import threading
+
+    budget = int(os.environ.get("BENCH_BUDGET_S", 1020))
+    margin = 20  # print + flush headroom before any outer `timeout` kill
+    started_at = time.time()
+    deadline = started_at + budget - margin
+    os.makedirs(CACHE_DIR, exist_ok=True)
+
+    env = dict(os.environ)
+    env["BENCH_DEADLINE"] = str(deadline - 10)  # worker self-budgets too
+    child = subprocess.Popen(
+        [sys.executable, "-u", osp.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env)
+
+    final = {}
+
+    def pump():
+        for line in child.stdout:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                d = json.loads(line)
+                if isinstance(d, dict) and "metric" in d:
+                    final["json"] = d
+                    continue
+            except ValueError:
+                pass
+            print(line, file=sys.stderr, flush=True)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    done = threading.Event()
+
+    def finish(reason):
+        if done.is_set():
+            return
+        done.set()
+        try:
+            child.kill()
+        except Exception:
+            pass
+        out = final.get("json") or _emit_best(reason, started_at)
+        print(json.dumps(out), flush=True)
+
+    def on_signal(signum, frame):
+        finish(f"terminated by signal {signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, on_signal)
+
+    try:
+        child.wait(timeout=max(1.0, deadline - time.time()))
+        t.join(timeout=10)
+        if final.get("json"):
+            done.set()
+            print(json.dumps(final["json"]), flush=True)
+        else:
+            finish(f"worker exited rc={child.returncode} without JSON")
+    except Exception:
+        finish(f"wall-clock budget {budget}s exhausted")
+
+
+# --------------------------------------------------------------------------
+# worker — the real bench
+# --------------------------------------------------------------------------
 
 def make_case(det, n_views, vol_size, seed=0):
-    import jax.numpy as jnp
-
     from r2_gaussian_tpu.ops.phantom import shepp_logan_3d
     from r2_gaussian_tpu.ops.projector import add_ct_noise, project
 
@@ -86,11 +233,12 @@ def probe_backend(attempts=None, probe_timeout=None):
     """
     import subprocess
 
-    attempts = attempts or int(os.environ.get("BENCH_PROBE_ATTEMPTS", 4))
+    attempts = attempts or int(os.environ.get("BENCH_PROBE_ATTEMPTS", 2))
     probe_timeout = probe_timeout or int(
-        os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+        os.environ.get("BENCH_PROBE_TIMEOUT", 90))
     last_err = ""
     for attempt in range(attempts):
+        _progress({"phase": f"backend probe {attempt + 1}/{attempts}"})
         try:
             # mirror the main process's platform selection: sitecustomize
             # bakes the axon platform into jax.config at interpreter start,
@@ -113,51 +261,31 @@ def probe_backend(attempts=None, probe_timeout=None):
         except subprocess.TimeoutExpired:
             last_err = f"jax.devices() hung >{probe_timeout}s (tunnel down?)"
         if attempt < attempts - 1:
-            wait = 15 * (attempt + 1)
+            wait = 15
             print(f"backend probe failed ({last_err}); retry in {wait}s",
                   file=sys.stderr, flush=True)
             time.sleep(wait)
-    out = {
-        "metric": "train_iters_per_sec", "value": None, "unit": "it/s",
-        "vs_baseline": None, "skipped": True,
-        "reason": f"JAX backend unavailable after {attempts} probes: "
-                  f"{last_err[:300]}",
-    }
-    # Surface the newest mid-round measurement as metadata (value stays
-    # null — a cached number is not a live driver measurement; this only
-    # keeps the skip line informative when the tunnel dies between the
-    # queue run and the driver's capture).
-    try:
-        import glob
-
-        cands = sorted(glob.glob(osp.join(CACHE_DIR, "bench_r*_early.json")),
-                       key=osp.getmtime)
-        if cands:
-            with open(cands[-1]) as f:
-                prior = json.loads(f.read().strip().splitlines()[-1])
-            if prior.get("value") is not None:
-                prior["artifact"] = osp.basename(cands[-1])
-                prior["measured_at"] = time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ",
-                    time.gmtime(osp.getmtime(cands[-1])))
-                out["last_measured"] = prior
-    except Exception:
-        pass
-    print(json.dumps(out))
+    print(json.dumps(_skip_json(
+        f"JAX backend unavailable after {attempts} probes: {last_err}")))
     return None
 
 
 def acquire_tpu_lock(timeout_s: int | None = None):
-    """Serialize against the round queue (dev/round3_tpu_queue.sh): the
+    """Serialize against the evidence queue (dev/round4_tpu_queue.sh): the
     tunneled TPU serves ONE process; a bench launched while a queue step is
-    mid-run would contend and can fail both. Every queue step and this bench
-    take the same advisory flock; on timeout we proceed anyway (a stale
-    holder must not turn the bench into a guaranteed skip). The fd is
-    returned only to keep the lock alive for the process lifetime."""
+    mid-run would contend and can fail both. The bench has PRIORITY: it
+    drops a `bench_priority` marker that queue steps check before starting
+    (they wait while it is fresh), waits a short bounded time for any
+    in-flight step, then proceeds regardless (a stale holder must not turn
+    the bench into a guaranteed skip). The fd is returned only to keep the
+    lock alive for the process lifetime."""
     import fcntl
 
-    timeout_s = timeout_s or int(os.environ.get("R2G_TPU_LOCK_TIMEOUT", 2700))
+    timeout_s = timeout_s if timeout_s is not None else int(
+        os.environ.get("R2G_TPU_LOCK_TIMEOUT", 240))
     os.makedirs(CACHE_DIR, exist_ok=True)
+    with open(PRIORITY_PATH, "w") as pf:
+        pf.write(f"{os.getpid()} {time.time()}\n")
     f = open(osp.join(CACHE_DIR, "tpu.lock"), "w")
     deadline = time.time() + timeout_s
     while True:
@@ -169,15 +297,35 @@ def acquire_tpu_lock(timeout_s: int | None = None):
                 print("tpu.lock still held after timeout; proceeding",
                       file=sys.stderr, flush=True)
                 return f
-            time.sleep(10)
+            _progress({"phase": "waiting for tpu.lock"})
+            time.sleep(5)
 
 
-def main():
+_progress_base = {"started_at": time.time()}
+
+
+def _progress(update):
+    """Atomically checkpoint worker progress for the watchdog parent."""
+    _progress_base.update(update)
+    try:
+        tmp = PROGRESS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(_progress_base))
+        os.replace(tmp, PROGRESS_PATH)
+    except OSError:
+        pass
+
+
+def worker():
+    deadline = float(os.environ.get("BENCH_DEADLINE", time.time() + 1e9))
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    _progress({"phase": "starting"})
     _lock = acquire_tpu_lock()  # noqa: F841 — held for process lifetime
     platform = probe_backend()
     if platform is None:
         return  # structured skip JSON already printed; exit 0
 
+    _progress({"phase": "importing jax + building case"})
     from r2_gaussian_tpu.utils.runtime import setup_jax_cache
 
     setup_jax_cache()
@@ -224,58 +372,85 @@ def main():
                       backend="auto")
 
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
+    baseline = 50.0  # RTX 3090 midpoint it/s
+
+    def result(it_per_sec, done_iters, loss):
+        return {
+            "metric": "train_iters_per_sec",
+            "value": round(it_per_sec, 2),
+            "unit": "it/s",
+            "vs_baseline": round(it_per_sec / baseline, 3),
+            "detail": {
+                "case": "shepp_logan_blurred_cone_25view",
+                "detector": det, "volume": vol_size,
+                "n_gaussians": int(np.asarray(trainer.state.aux.n_active)),
+                "platform": "tpu" if on_tpu else "cpu",
+                "measured_iters":
+                    f"{warm_iters + 1}-{warm_iters + done_iters}",
+                "capacity": int(trainer.state.params.capacity),
+                "projected_time_to_30k_min":
+                    round(30_000 / it_per_sec / 60, 2),
+                "loss": loss,
+            },
+        }
 
     # warmup: compiles + first densify events (run_chunk syncs per dispatch)
     while trainer.iteration < warm_iters:
         tc = time.time()
+        _progress({"phase": f"warmup iter {trainer.iteration}/{warm_iters}"})
         k = min(100, warm_iters - trainer.iteration)
         _, n = trainer.run_chunk(k)
         if verbose:
             print(f"warm it={trainer.iteration} {time.time() - tc:.2f}s"
                   f" n_active={n}", file=sys.stderr, flush=True)
+        # a cold compile cache can eat the whole budget in warmup; a short
+        # measurement window still beats no number
+        if time.time() > deadline - 120 and trainer.iteration >= 200:
+            print(f"warmup truncated at iter {trainer.iteration} "
+                  "(deadline approaching)", file=sys.stderr, flush=True)
+            warm_iters = trainer.iteration
+            break
 
     t0 = time.time()
     done = 0
+    loss = float("nan")
     while done < bench_iters:
         tc = time.time()
         k = min(100, bench_iters - done)
         m, n = trainer.run_chunk(k)
         done += k
+        loss = float(np.asarray(m)[-1, 0])
+        wall = time.time() - t0
+        # checkpoint a live partial number for the watchdog after every chunk
+        prog = result(done / wall, done, loss)
+        prog["phase"] = f"measuring {done}/{bench_iters}"
+        _progress(prog)
         if verbose:
             print(f"bench it={trainer.iteration} {time.time() - tc:.2f}s"
                   f" n_active={n}", file=sys.stderr, flush=True)
+        if time.time() > deadline - 45 and done >= 100:
+            print(f"measurement truncated at {done}/{bench_iters} iters "
+                  "(deadline)", file=sys.stderr, flush=True)
+            bench_iters = done
+            break
     wall = time.time() - t0
-    it_per_sec = bench_iters / wall
+    out = result(bench_iters / wall, bench_iters, loss)
+    print(json.dumps(out), flush=True)
 
-    baseline = 50.0  # RTX 3090 midpoint it/s
-    out = {
-        "metric": "train_iters_per_sec",
-        "value": round(it_per_sec, 2),
-        "unit": "it/s",
-        "vs_baseline": round(it_per_sec / baseline, 3),
-        "detail": {
-            "case": "shepp_logan_blurred_cone_25view",
-            "detector": det, "volume": vol_size,
-            "n_gaussians": int(np.asarray(trainer.state.aux.n_active)),
-            "platform": "tpu" if on_tpu else "cpu",
-            "measured_iters": f"{warm_iters + 1}-{warm_iters + bench_iters}",
-            "capacity": int(trainer.state.params.capacity),
-            "projected_time_to_30k_min": round(30_000 / it_per_sec / 60, 2),
-            "loss": float(np.asarray(m)[-1, 0]),
-        },
-    }
-    print(json.dumps(out))
+
+def main():
+    if "--worker" in sys.argv:
+        try:
+            worker()
+        except Exception as e:  # noqa: BLE001 — parent parses stdout
+            import traceback
+
+            traceback.print_exc()
+            print(json.dumps(_skip_json(
+                f"{type(e).__name__}: {str(e)[:300]}")))
+    else:
+        watchdog()
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — driver parses stdout; always emit JSON
-        import traceback
-
-        traceback.print_exc()
-        print(json.dumps({
-            "metric": "train_iters_per_sec", "value": None, "unit": "it/s",
-            "vs_baseline": None, "skipped": True,
-            "reason": f"{type(e).__name__}: {str(e)[:300]}",
-        }))
+    main()

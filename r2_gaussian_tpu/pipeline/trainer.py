@@ -437,6 +437,19 @@ class Trainer:
         os.makedirs(self.debug_dir, exist_ok=True)
         path = os.path.join(self.debug_dir, "snapshot_fw.npz")
         p, a = state_in.params, state_in.aux
+        # Adam moments are part of the trajectory: without them a replay
+        # diverges from the recorded run after one step (learned the hard
+        # way on the round-3 chest snapshot — its NaN was only reachable
+        # through the original moments).
+        ad = state_in.adam
+        extra = {}
+        for f in p._fields:
+            extra[f"adam_m_{f}"] = np.asarray(getattr(ad.m, f))
+            extra[f"adam_v_{f}"] = np.asarray(getattr(ad.v, f))
+        extra["adam_step"] = np.asarray(ad.step)
+        if state_in.ema is not None:
+            for f in p._fields:
+                extra[f"ema_{f}"] = np.asarray(getattr(state_in.ema, f))
         np.savez_compressed(
             path,
             xyz=np.asarray(p.xyz), scaling=np.asarray(p.scaling),
@@ -450,6 +463,7 @@ class Trainer:
             metrics=metrics,
             scale_bound=np.asarray(self.scale_bound, np.float32)
             if self.scale_bound is not None else np.zeros(0, np.float32),
+            **extra,
         )
         print(
             f"WARNING: non-finite loss at iterations {self.iteration + 1}.."
