@@ -95,32 +95,102 @@ def tiny_problem(n_gauss: int, det: int = 32, n_views: int = 4, seed: int = 0):
     return cams, scanner, opt, scale_bound, params, aux
 
 
+def canonical_state_rows(state):
+    """Active rows of every per-gaussian leaf of a TrainState, in a
+    canonical (content-sorted) order, as numpy arrays.
+
+    The densify compaction sorts by Morton code; f32 summation-order noise
+    (~1e-8) can flip a Morton bit and permute a few rows between a sharded
+    and a single-device trajectory, so rows are matched by sorting on their
+    (position, density) content instead of buffer order. Shared by the
+    sharded-vs-single equivalence test (tests/test_multichip.py) and the
+    driver dryrun below."""
+    import jax
+
+    act = np.asarray(state.aux.active)
+    xyz = np.asarray(state.params.xyz)[act]
+    den = np.asarray(state.params.density)[act, 0]
+    order = np.lexsort((den, xyz[:, 2], xyz[:, 1], xyz[:, 0]))
+    out = {}
+    for name in ("params", "adam", "aux"):
+        tree = jax.tree.map(np.asarray, getattr(state, name))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if leaf.ndim >= 1 and leaf.shape[0] == act.shape[0]:
+                out[f"{name}{path}"] = leaf[act][order]
+            else:
+                out[f"{name}{path}"] = leaf
+    return out
+
+
+def equivalence_deltas(state_a, state_b):
+    """Max elementwise |a-b| and |a-b|/(|a|+1e-12) over matched canonical
+    rows of two TrainStates. Raises if the active sets differ in size."""
+    a = canonical_state_rows(state_a)
+    b = canonical_state_rows(state_b)
+    assert a.keys() == b.keys()
+    max_abs = 0.0
+    max_rel = 0.0
+    for key in a:
+        x, y = np.asarray(a[key], np.float64), np.asarray(b[key], np.float64)
+        assert x.shape == y.shape, (key, x.shape, y.shape)
+        if x.size == 0 or not np.issubdtype(x.dtype, np.floating):
+            continue
+        d = np.abs(x - y)
+        max_abs = max(max_abs, float(d.max()))
+        max_rel = max(max_rel, float((d / (np.abs(x) + 1e-12)).max()))
+    return max_abs, max_rel
+
+
 def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32,
-           backend: str = "pallas") -> float:
+           backend: str = "pallas") -> dict:
     """Build an n-device mesh and run the FULL sharded training step — the
     production Trainer's jitted shard_map body (render + TV-query psum,
     densification stats, skip flags, shared Adam) — for one dispatch chunk
-    that crosses a densification event, on tiny shapes.
+    that crosses a densification event AND a capacity-growth (buffer
+    doubling) event, on tiny shapes. Then runs the identical problem on a
+    single device and reports the sharded-vs-single trajectory deltas.
 
     backend defaults to "pallas" so the driver-checked multi-chip artifact
     lowers the actual production splat kernels under shard_map (interpret
     mode on the virtual CPU mesh), not just the dense oracle path.
+
+    Returns {loss, n_active, capacity: (before, after), max_abs_delta,
+    max_rel_delta} — the deltas are the sharded-vs-single full-state
+    equivalence measurement (params + Adam moments + densify stats over
+    canonically matched rows).
     """
     from ..pipeline.trainer import Trainer
 
     mesh = make_mesh(n_devices)
     # capacity must be divisible by n_devices*128 (block-aligned shards)
     n = max(n_devices * n_per_device, n_devices * 128)
-    cams, scanner, opt, scale_bound, params, aux = tiny_problem(n, det=det)
-    trainer = Trainer(
-        cams, scanner, opt, scale_bound, params, aux,
-        backend=backend, mesh=mesh,
-    )
+    sharded = Trainer(*tiny_problem(n, det=det), backend=backend, mesh=mesh,
+                      seed=3)
+    cap0 = int(sharded.state.params.capacity)
     # 8 iterations: crosses the iter-4 densify boundary -> exercises the
-    # sharded step, the replicate->densify->reshard path, and a second
-    # sharded dispatch after the event.
-    metrics, n_active = trainer.run_chunk(8)
+    # sharded step, the replicate->densify->reshard path, a capacity
+    # doubling (init is at full capacity and every gaussian clones under
+    # the 1e-7 grad threshold), and a second sharded dispatch after the
+    # event.
+    metrics, n_active = sharded.run_chunk(8)
+    cap1 = int(sharded.state.params.capacity)
     loss = float(metrics[-1, 0])
     assert np.isfinite(loss), loss
     assert n_active is not None and n_active > 0, n_active
-    return loss
+    assert cap1 > cap0, (
+        f"dryrun did not cross a capacity-growth event ({cap0} -> {cap1})")
+
+    single = Trainer(*tiny_problem(n, det=det), backend=backend, seed=3)
+    m1, n1 = single.run_chunk(8)
+    assert n1 == n_active, (n1, n_active)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(metrics),
+                               rtol=2e-4, atol=1e-5)
+    max_abs, max_rel = equivalence_deltas(single.state, sharded.state)
+    # Adam-normalized quaternion wiggle bounds the worst case (see
+    # tests/test_multichip.py for the per-leaf budget breakdown)
+    assert max_abs < 5e-3, max_abs
+    return {
+        "loss": loss, "n_active": int(n_active),
+        "capacity": (cap0, cap1),
+        "max_abs_delta": max_abs, "max_rel_delta": max_rel,
+    }

@@ -10,8 +10,10 @@ import pytest
 def test_sharded_train_step_runs_and_matches_replicated():
     from r2_gaussian_tpu.parallel.train_sharded import dryrun
 
-    loss = dryrun(8, n_per_device=64, det=32)
-    assert np.isfinite(loss)
+    r = dryrun(8, n_per_device=64, det=32)
+    assert np.isfinite(r["loss"])
+    assert r["capacity"][1] > r["capacity"][0]
+    assert r["max_abs_delta"] < 5e-3
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -39,29 +41,10 @@ def test_sharded_trainer_matches_single_device_across_densify():
     assert n1 == n2 and n1 is not None
     np.testing.assert_allclose(m2, m1, rtol=2e-4, atol=1e-5)
 
-    def canonical(state):
-        """Active rows of every per-gaussian leaf, in a canonical order.
+    from r2_gaussian_tpu.parallel.train_sharded import canonical_state_rows
 
-        The densify compaction sorts by Morton code; f32 summation-order
-        noise (~1e-8) can flip a Morton bit and permute a few rows between
-        the sharded and single trajectories, so rows are matched by sorting
-        on their (position, density) content instead of buffer order.
-        """
-        act = np.asarray(state.aux.active)
-        xyz = np.asarray(state.params.xyz)[act]
-        den = np.asarray(state.params.density)[act, 0]
-        order = np.lexsort((den, xyz[:, 2], xyz[:, 1], xyz[:, 0]))
-        out = {}
-        for name in ("params", "adam", "aux"):
-            tree = jax.tree.map(np.asarray, getattr(state, name))
-            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-                if leaf.ndim >= 1 and leaf.shape[0] == act.shape[0]:
-                    out[f"{name}{path}"] = leaf[act][order]
-                else:
-                    out[f"{name}{path}"] = leaf
-        return out
-
-    a, b = canonical(single.state), canonical(sharded.state)
+    a = canonical_state_rows(single.state)
+    b = canonical_state_rows(sharded.state)
     assert a.keys() == b.keys()
     for key in a:
         # Rotation gradients of near-isotropic gaussians are differences of
