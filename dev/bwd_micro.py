@@ -25,7 +25,7 @@ scanner = d["scanner"].item()
 projs, angles = d["projs"], d["angles"]
 cams = build_cameras(angles, projs, [str(i) for i in range(len(angles))],
                      scanner)
-s = np.load(osp.join(ROOT, ".bench_data", "state_1100.npz"))
+s = np.load(osp.join(ROOT, ".bench_data", sys.argv[1] if len(sys.argv) > 1 else "state_slb_1100.npz"))
 sb = tuple(float(v) for v in s["scale_bound"])
 params = GaussianParams(
     xyz=jnp.asarray(s["xyz"]), scaling=jnp.asarray(s["scaling"]),

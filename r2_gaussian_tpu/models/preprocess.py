@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 TILE = 16  # reference config.h BLOCK_X/BLOCK_Y
 TWO_PI = 6.283185307179586
+# Conic conditioning cull threshold (1/px^2); see the gate in preprocess()
+CONIC_MAX_2D = 1e9
 # Per-pixel contribution cutoff (reference forward.cu:294-395 skips
 # alpha < 1e-5). Shared with the splat kernels.
 ALPHA_CUT = 1e-5
@@ -242,11 +244,24 @@ def preprocess(
 
     # Conic and radius (forward.cu:260-274)
     det = a * d - b * b
-    det_ok = det != 0.0
+    det_ok = jnp.isfinite(det) & (det != 0.0)
     inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
     cxx = d * inv_det
     cxy = -b * inv_det
     cyy = a * inv_det
+    # Conic conditioning gate: a near-degenerate projected covariance can
+    # land det in the f32 denormal range -> inf conic entries, or
+    # finite-but-huge entries whose Hermite powers overflow inside the
+    # low-rank kernels (the 3D analog caused the chest-run TV NaN; see
+    # models/voxel_preprocess.py and dev/nan_fuzz.py). CONIC_MAX_2D = 1e9
+    # per-pixel^2 corresponds to sigma ~3e-5 px — far below renderable.
+    conic_mag = jnp.maximum(jnp.maximum(jnp.abs(cxx), jnp.abs(cxy)),
+                            jnp.abs(cyy))
+    # Positive-definiteness gate (see voxel_preprocess.py): an indefinite
+    # f32 conic is garbage to render and poisons autodiff partials in the
+    # low-rank feature builder. det > 0 with positive diagonal <=> PD here.
+    pd_ok = (cxx > 0.0) & (cyy > 0.0) & (cxx * cyy > cxy * cxy)
+    det_ok = det_ok & (conic_mag <= CONIC_MAX_2D) & pd_ok
     mid = 0.5 * (a + d)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
@@ -272,6 +287,16 @@ def preprocess(
         valid = valid & active
     weight = jnp.where(valid, density * mu, 0.0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    # Neutralize culled rows' conic and center so no non-finite value can
+    # reach a kernel (weight == 0 masks their contribution; values and
+    # grads of valid rows are unchanged — see voxel_preprocess.py note)
+    one = jnp.ones_like(cxx)
+    zf = jnp.zeros_like(cxx)
+    cxx = jnp.where(valid, cxx, one)
+    cxy = jnp.where(valid, cxy, zf)
+    cyy = jnp.where(valid, cyy, one)
+    mx = jnp.where(valid, mx, zf)
+    my = jnp.where(valid, my, zf)
 
     if footprint == "tile":
         xlo = rmin_x.astype(jnp.float32) * TILE

@@ -265,6 +265,7 @@ def query(
     backend = _resolve_backend(backend)
     nx, ny, nz = (int(v) for v in n_voxel)
     n = xyz.shape[0]
+    densities = densities.reshape(n)  # accept (N,) or (N, 1)
     if gather_cap is None:
         gather_cap = splat3d.GATHER_CAP
     if gather_bcap is None:

@@ -23,6 +23,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 BLOCK3D = 8  # reference cuda_voxelizer/config.h:16-18
+# Conic conditioning cull: rows whose inverse-covariance entries exceed this
+# (in 1/voxel^2 units; sigma ~3e-5 voxels) are treated as degenerate and
+# culled, BEFORE the entries can overflow downstream kernels (see
+# voxel_preprocess below and dev/nan_fuzz.py).
+CONIC_MAX_3D = 1e9
 
 
 class VoxelPreprocessed(NamedTuple):
@@ -163,7 +168,7 @@ def voxel_preprocess(
     e = syz * (iy * iz)
     f = szz * (iz * iz)
     det = a * d * f + 2 * b * c * e - a * e * e - f * b * b - d * c * c
-    det_ok = det != 0.0
+    det_ok = jnp.isfinite(det) & (det != 0.0)
     inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
     ia = (d * f - e * e) * inv_det
     ib = (c * e - b * f) * inv_det
@@ -171,6 +176,33 @@ def voxel_preprocess(
     id_ = (a * f - c * c) * inv_det
     ie = (b * c - a * e) * inv_det
     if_ = (a * d - b * b) * inv_det
+    # Conic conditioning gate (root cause of the chest-run TV NaN,
+    # reproduced by dev/nan_fuzz.py): a rotated near-degenerate covariance
+    # can land det in the f32 denormal range, making inv_det (and the conic
+    # entries) inf — or, one notch less extreme, finite-but-huge entries
+    # whose Hermite powers overflow inside the low-rank kernels. Such rows
+    # are culled (CONIC_MAX = 1e9 in voxel units corresponds to a sigma of
+    # ~3e-5 voxels — far below anything renderable) and their conic is
+    # replaced by the identity so no non-finite value can reach a kernel;
+    # kernels mask weight == 0 rows, so values and grads are unchanged.
+    conic_mag = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(ia), jnp.abs(ib)), jnp.abs(ic)),
+        jnp.maximum(jnp.maximum(jnp.abs(id_), jnp.abs(ie)), jnp.abs(if_)),
+    )
+    # Positive-definiteness gate: f32 inversion of a near-degenerate
+    # covariance can yield a finite but INDEFINITE conic (negative
+    # diagonal); such rows are meaningless to render, and their garbage
+    # values blow up autodiff partials downstream (0-cotangent * inf
+    # partial = NaN in build_lowrank_features3 — dev/nan_fuzz.py). The
+    # pairwise 2x2 minors + positive diagonal are necessary PD conditions;
+    # healthy rows satisfy them with ~1e-7 relative margin even at conic
+    # correlation 0.99999. (The reference CUDA only guards det == 0 and
+    # renders indefinite garbage; culling is strictly saner.)
+    pd_ok = (
+        (ia > 0.0) & (id_ > 0.0) & (if_ > 0.0)
+        & (ia * id_ > ib * ib) & (ia * if_ > ic * ic) & (id_ * if_ > ie * ie)
+    )
+    det_ok = det_ok & (conic_mag <= CONIC_MAX_3D) & pd_ok
 
     rfx = jnp.ceil(3.0 * max_scale * ix)
     rfy = jnp.ceil(3.0 * max_scale * iy)
@@ -203,9 +235,15 @@ def voxel_preprocess(
         valid = valid & active
     weight = jnp.where(valid, density, 0.0)
     zero = jnp.zeros_like(rfx)
+    one = jnp.ones_like(ia)
+    zf = jnp.zeros_like(ia)
     return VoxelPreprocessed(
-        cx=cx, cy=cy, cz=cz,
-        ia=ia, ib=ib, ic=ic, id_=id_, ie=ie, if_=if_,
+        cx=jnp.where(valid, cx, zf),
+        cy=jnp.where(valid, cy, zf),
+        cz=jnp.where(valid, cz, zf),
+        ia=jnp.where(valid, ia, one), ib=jnp.where(valid, ib, zf),
+        ic=jnp.where(valid, ic, zf), id_=jnp.where(valid, id_, one),
+        ie=jnp.where(valid, ie, zf), if_=jnp.where(valid, if_, one),
         weight=weight,
         rx=jnp.where(valid, rfx, zero).astype(jnp.int32),
         ry=jnp.where(valid, rfy, zero).astype(jnp.int32),

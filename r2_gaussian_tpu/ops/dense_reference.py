@@ -44,7 +44,10 @@ def _render_chunk(prep: Preprocessed, px: jnp.ndarray, py: jnp.ndarray) -> jnp.n
         & (py[:, None] >= prep.px_bounds[None, :, 2])
         & (py[:, None] < prep.px_bounds[None, :, 3])
     )
-    alpha = prep.weight[None, :] * jnp.exp(power)
+    # exp clamped at 0 so autodiff's where-cotangent never sees inf on
+    # masked pixels (0*inf = NaN); exact for contributing pixels, which
+    # already require power <= 0 (dev/nan_fuzz.py)
+    alpha = prep.weight[None, :] * jnp.exp(jnp.minimum(power, 0.0))
     ok = in_rect & (power <= 0.0) & (alpha >= ALPHA_CUT_2D)
     return jnp.sum(jnp.where(ok, alpha, 0.0), axis=1)
 
@@ -145,7 +148,8 @@ def _voxel_chunk(
         & (bz >= prep.cube_min[None, :, 2])
         & (bz < prep.cube_max[None, :, 2])
     )
-    alpha = prep.weight[None, :] * jnp.exp(power)
+    # exp clamp: same masked-inf autodiff guard as _render_chunk above
+    alpha = prep.weight[None, :] * jnp.exp(jnp.minimum(power, 0.0))
     ok = in_cube & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
     return jnp.sum(jnp.where(ok, alpha, 0.0), axis=1)
 

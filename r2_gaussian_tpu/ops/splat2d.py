@@ -306,15 +306,19 @@ def _direct_bwd_body(data, ox, oy, t, gimg_ref, dout_ref, row, *, tiers,
                         (pxf >= xlo) & (pxf < xhi) & (pyf >= ylo) & (pyf < yhi)
                         & (power <= 0.0) & (alpha >= ALPHA_CUT)
                     )
-                    galpha = jnp.where(ok, gcol, 0.0)
-                    gpow = galpha * alpha
+                    # gcol*alpha / gcol*e INSIDE the where: alpha/e can be
+                    # inf on masked voxels (power overflow on an extreme
+                    # conic) and where(ok, gcol, 0)*alpha would turn that
+                    # into 0*inf = NaN (dev/nan_fuzz.py)
+                    gpow = jnp.where(ok, gcol * alpha, 0.0)
+                    ge = jnp.where(ok, gcol * e, 0.0)
                     return (
                         dmx + jnp.sum(gpow * (cxx * dx + cxy * dy), axis=0)[None],
                         dmy + jnp.sum(gpow * (cyy * dy + cxy * dx), axis=0)[None],
                         dcxx + jnp.sum(gpow * (-0.5 * dx * dx), axis=0)[None],
                         dcxy + jnp.sum(gpow * (-dx * dy), axis=0)[None],
                         dcyy + jnp.sum(gpow * (-0.5 * dy * dy), axis=0)[None],
-                        dw + jnp.sum(galpha * e, axis=0)[None],
+                        dw + jnp.sum(ge, axis=0)[None],
                     )
 
                 zeros = jnp.zeros_like(mx)
@@ -894,7 +898,9 @@ def _build_features_lr(prep: Preprocessed):
 # high-level entry: block building + tier routing (all XLA, differentiable)
 
 
-GROUP = 2  # consecutive Morton 128-blocks per kernel block (lane width G*GROUP)
+# consecutive Morton 128-blocks per kernel block (lane width G*GROUP);
+# R2G_GROUP overrides for hardware sweeps (static at trace time)
+GROUP = int(os.environ.get("R2G_GROUP", "2"))
 
 
 class SplatConfig(NamedTuple):
@@ -958,7 +964,10 @@ def _dense_fallback(comps, idx, count, height, width, chunk: int):
             -0.5 * (fc[None, None, :, 2] * dx * dx + fc[None, None, :, 4] * dy * dy)
             - fc[None, None, :, 3] * dx * dy
         )
-        alpha = fc[None, None, :, 5] * jnp.exp(power)
+        # exp clamp: this path is differentiated by autodiff, whose
+        # where-cotangent would hit 0*inf = NaN on masked pixels if exp
+        # overflowed (exact for contributing pixels: ok requires power <= 0)
+        alpha = fc[None, None, :, 5] * jnp.exp(jnp.minimum(power, 0.0))
         ok = (
             (xs[None, :, None] >= fc[None, None, :, 6])
             & (xs[None, :, None] < fc[None, None, :, 7])

@@ -246,7 +246,10 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
         else:
             oky = (vyf >= ylo) & (vyf < yhi)
         ok = (okx & oky) & okz & (power <= 0.0) & (alpha >= ALPHA_CUT_3D)
-        gpow = jnp.where(ok, gcol, 0.0) * alpha
+        # gcol*alpha INSIDE the where: alpha can be inf/NaN on masked voxels
+        # (power overflow on an extreme conic) and where(ok, gcol, 0)*alpha
+        # would turn that into 0*inf = NaN (dev/nan_fuzz.py)
+        gpow = jnp.where(ok, gcol * alpha, 0.0)
         gx = gpow * dx
         gy = gpow * dy
         gz = gpow * dz
@@ -512,7 +515,10 @@ def build_lowrank_features3(prep: VoxelPreprocessed):
     r0 = RHO0_3D
     om = 1.0 - r0 * r0
     valid = prep.weight > 0.0
-    iaq = jnp.maximum(jnp.where(valid, prep.ia, 1.0), 1e-20)
+    # floor 1e-12 (not 1e-20): valid rows have a PD conic with ia bounded
+    # well above it (preprocess gate), and a tighter floor keeps autodiff's
+    # ib^2/iaq^2 division partials finite even on garbage rows
+    iaq = jnp.maximum(jnp.where(valid, prep.ia, 1.0), 1e-12)
     ib = jnp.where(valid, prep.ib, 0.0)
     ic = jnp.where(valid, prep.ic, 0.0)
     idq = jnp.where(valid, prep.id_, 1.0)
@@ -542,17 +548,24 @@ def build_lowrank_features3(prep: VoxelPreprocessed):
     psd = (pyy <= 0.0) & (pzz <= 0.0) & (4.0 * pyy * pzz >= pyz * pyz)
     spill = valid & ((rho3sq > RHO3_MAX * RHO3_MAX) | ~psd)
     wq = jnp.where(spill, 0.0, wq)
+    # Gate the OTHER features on ~spill too, not just wq: a spilled row can
+    # carry non-finite pyy/pyz (e.g. ib*ib overflow on an extreme-anisotropy
+    # conic), and wq = 0 does not stop 0 * NaN = NaN inside the factor
+    # matmul (the chest-run TV NaN; reproduced by dev/nan_fuzz.py). Spilled
+    # rows render on the exact path, so zeroing their lowrank features is
+    # value- and grad-exact.
+    good = valid & ~spill
     zero = jnp.zeros_like(wq)
     feats = [
-        jnp.where(valid, prep.cx, zero),
-        jnp.where(valid, prep.cy, zero),
-        jnp.where(valid, prep.cz, zero),
-        jnp.where(valid, kx, 1.0),
-        jnp.where(valid, sb, zero),
-        jnp.where(valid, sc, zero),
-        jnp.where(valid, pyy, zero),
-        jnp.where(valid, pyz, zero),
-        jnp.where(valid, pzz, zero),
+        jnp.where(good, prep.cx, zero),
+        jnp.where(good, prep.cy, zero),
+        jnp.where(good, prep.cz, zero),
+        jnp.where(good, kx, 1.0),
+        jnp.where(good, sb, zero),
+        jnp.where(good, sc, zero),
+        jnp.where(good, pyy, zero),
+        jnp.where(good, pyz, zero),
+        jnp.where(good, pzz, zero),
         wq,
     ]
     return feats, jax.lax.stop_gradient(spill)
