@@ -57,8 +57,19 @@ def make_train_fn(
     kernel: str = "auto",
     mesh=None,
     shard_axis: str = "g",
+    n_rows: int | None = None,
 ):
     """Build the jitted K-step training function for fixed-capacity state.
+
+    `n_rows` (single-chip only): static row-count bucket >= the live
+    gaussian count. Densify events keep active rows a prefix of the arrays
+    (densify.py `_compaction_order` sorts actives first), so the render/TV
+    hot path can run on `params[:n_rows]` instead of the full padded
+    capacity — at the measured steady state (61k live in a 262k buffer)
+    the capacity-proportional XLA glue (EWA preprocess, feature build,
+    block routing) was ~2.4 ms of a ~14 ms step. Adam, EMA and the
+    densify-stat arrays stay at capacity (elementwise, cheap); gradients
+    beyond n_rows are exactly zero because those rows are inactive.
 
     With `mesh`, the identical step body runs under shard_map with the
     gaussian axis sharded over the mesh: each device renders/voxelizes its
@@ -86,9 +97,14 @@ def make_train_fn(
     images_all = jnp.asarray(cameras.images)
     if mesh is not None:
         from ..parallel.sharding import psum_grad_exact
+        assert n_rows is None, "row slicing is single-chip only"
 
     def loss_fn(params, d2, active, view_idx, key_tv):
         xyz, scales, rots, dens = activate(params, sb)
+        if n_rows is not None:
+            xyz, scales, rots, dens = (
+                a[:n_rows] for a in (xyz, scales, rots, dens))
+            active = active[:n_rows]
         out = render(
             xyz, scales, rots, dens,
             w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
@@ -131,7 +147,8 @@ def make_train_fn(
         def body(k, carry):
             state, metrics = carry
             iteration = iter0 + k + 1
-            d2 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+            rows = (state.params.capacity if n_rows is None else n_rows)
+            d2 = jnp.zeros((rows, 2), jnp.float32)
             (total, (radii, l1, dssim, tv)), (gp, gd2) = grad_fn(
                 state.params, d2, state.aux.active, view_indices[k], keys[k]
             )
@@ -153,6 +170,12 @@ def make_train_fn(
             # densification stats (train.py:149-154)
             visible = (radii > 0) & ok
             grad_norm = jnp.linalg.norm(gd2, axis=-1)
+            if n_rows is not None:
+                # rows beyond n_rows are inactive: never visible, zero grads
+                pad = (0, state.params.capacity - n_rows)
+                visible = jnp.pad(visible, pad)
+                grad_norm = jnp.pad(grad_norm, pad)
+                radii = jnp.pad(radii, pad)
             aux = state.aux
             aux = aux._replace(
                 max_radii2d=jnp.where(
@@ -318,8 +341,25 @@ class Trainer:
             out[j] = self._perm[pos]
         return out
 
+    def _row_bucket(self) -> int | None:
+        """Static row-count bucket for the hot path: the smallest power-of-2
+        multiple of 8192 holding the live rows (actives are a prefix —
+        densify.py `_compaction_order`). Power-of-2 buckets bound both the
+        recompile count over a full run (~4 shapes from 50k to 500k) and
+        the padded-row waste (< 2x). None = full capacity (mesh runs: rows
+        are shard-aligned and must not be sliced)."""
+        if self.mesh is not None:
+            return None
+        cap = int(self.state.params.capacity)
+        n = int(self.state.aux.n_active)
+        b = 8192
+        while b < n:
+            b *= 2
+        return None if b >= cap else b
+
     def _get_train_fn(self, steps: int):
-        key = (steps, self.state.params.capacity)
+        n_rows = self._row_bucket()
+        key = (steps, self.state.params.capacity, n_rows)
         if key not in self._train_fns:
             self._train_fns[key] = make_train_fn(
                 cameras=self.cameras,
@@ -332,6 +372,7 @@ class Trainer:
                 kernel=self.kernel,
                 mesh=self.mesh,
                 shard_axis=self.shard_axis,
+                n_rows=n_rows,
             )
         return self._train_fns[key]
 
