@@ -13,7 +13,8 @@ import sys
 import yaml
 
 ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
-OUT = sys.argv[1] if len(sys.argv) > 1 else osp.join(ROOT, "output")
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _args[0] if _args else osp.join(ROOT, "output")
 
 
 def load_yml(path):
@@ -73,8 +74,51 @@ def tv_sweep_table():
         print(f"| {it} | " + " | ".join(cells) + " |")
 
 
-if __name__ == "__main__":
+def matrix_table():
+    """Headline grid mirroring the reference's assets/results.md: one row
+    per (phantom, beam, views, preset-arm), final-30k offline metrics."""
+    import re
+
+    rows = []
     for case_dir in sorted(glob.glob(osp.join(OUT, "*"))):
-        if osp.isdir(case_dir):
-            case_table(case_dir)
-    tv_sweep_table()
+        name = osp.basename(case_dir)
+        m = re.fullmatch(r"(\w+?)_(cone|parallel)_(\d+)(_lrfast)?", name)
+        if not m:
+            continue
+        m3 = load_yml(osp.join(case_dir, "test", "iter_030000", "eval3d.yml"))
+        m2 = load_yml(
+            osp.join(case_dir, "test", "iter_030000",
+                     "eval2d_render_test.yml")) or {}
+        if not m3:
+            continue
+        # peak train-time PSNR3D across eval checkpoints, to show the
+        # final-vs-peak semiconvergence gap per arm
+        peak = None
+        for it_dir in glob.glob(osp.join(case_dir, "eval", "iter_*")):
+            e = load_yml(osp.join(it_dir, "eval3d.yml")) or {}
+            p = e.get("psnr_3d")
+            if isinstance(p, (int, float)):
+                peak = p if peak is None else max(peak, p)
+        rows.append((m.group(1), m.group(2), int(m.group(3)),
+                     "lrfast" if m.group(4) else "default",
+                     m3.get("psnr_3d"), m3.get("ssim_3d"),
+                     m2.get("psnr_2d"), peak))
+    if not rows:
+        return
+    print("\n### Quality-protocol matrix (offline test.py @ iter 30000)\n")
+    print("| case | beam | views | preset | PSNR3D | SSIM3D | PSNR2D(test)"
+          " | peak PSNR3D (train evals) |")
+    print("|---|---|---|---|---|---|---|---|")
+    for c, b, nv, arm, p3, s3, p2, pk in sorted(rows):
+        print(f"| {c} | {b} | {nv} | {arm} | {fmt(p3)} | {fmt(s3, 4)} "
+              f"| {fmt(p2)} | {fmt(pk)} |")
+
+
+if __name__ == "__main__":
+    if "--matrix" in sys.argv:
+        matrix_table()
+    else:
+        for case_dir in sorted(glob.glob(osp.join(OUT, "*"))):
+            if osp.isdir(case_dir):
+                case_table(case_dir)
+        tv_sweep_table()

@@ -1,5 +1,6 @@
 """Decompose the training-step cost at a saved state: render-only vs +ssim
 vs +tv vs full, plus TV-query and optimizer in isolation."""
+import os
 import os.path as osp
 import sys
 import time
@@ -67,10 +68,13 @@ keys = jax.random.split(rngk, K)
 skip = jnp.zeros(K, bool)
 
 
+N_ROWS = int(os.environ.get("R2G_NROWS", "0")) or None  # trainer row bucket
+
+
 def measure(name, opt):
     fn = make_train_fn(cameras=cams, scanner_cfg=scanner, opt_cfg=opt,
                        scale_bound=sb, backend="pallas", steps_per_call=K,
-                       footprint="tight", kernel=KERNEL)
+                       footprint="tight", kernel=KERNEL, n_rows=N_ROWS)
     def fresh():
         return TrainState(params=jax.tree.map(jnp.copy, params),
                           adam=init_adam(params),
