@@ -100,11 +100,13 @@ def make_train_fn(
         assert n_rows is None, "row slicing is single-chip only"
 
     def loss_fn(params, d2, active, view_idx, key_tv):
-        xyz, scales, rots, dens = activate(params, sb)
         if n_rows is not None:
-            xyz, scales, rots, dens = (
-                a[:n_rows] for a in (xyz, scales, rots, dens))
+            # slice BEFORE activate so the softplus/sigmoid/normalize run on
+            # the live bucket only; the slice VJP zero-pads gradients back
+            # to capacity, so gp keeps the full-capacity shape exactly
+            params = jax.tree.map(lambda a: a[:n_rows], params)
             active = active[:n_rows]
+        xyz, scales, rots, dens = activate(params, sb)
         out = render(
             xyz, scales, rots, dens,
             w2c=w2c_all[view_idx], full_proj=proj_all[view_idx],
