@@ -79,7 +79,10 @@ p = preprocess(xyz, cov3d, dens, w2c, fp, width=W, height=H,
 img, aux = splat2d.render_pallas(p, width=W, height=H, return_aux=True,
                                  kernel=KERNEL)
 for k, v in aux.items():
-    print(f"{k}: {int(v)}")
+    try:
+        print(f"{k}: {int(v)}")
+    except TypeError:
+        print(f"{k}: {v}")
 # footprint stats
 r = np.asarray(p.radius)
 r = r[r > 0]

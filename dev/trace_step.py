@@ -1,4 +1,5 @@
 """Trace one full train dispatch at a saved state; print top device ops."""
+import os
 import os.path as osp
 import sys, time, types, glob, gzip, json, collections
 
@@ -44,9 +45,10 @@ opt = types.SimpleNamespace(
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
 )
 K = 10
+N_ROWS = int(os.environ.get("R2G_NROWS", "0")) or None  # trainer row bucket
 fn = make_train_fn(cameras=cams, scanner_cfg=scanner, opt_cfg=opt,
                    scale_bound=sb, backend="pallas", steps_per_call=K,
-                   footprint="tight", kernel="auto")
+                   footprint="tight", kernel="auto", n_rows=N_ROWS)
 views = jnp.arange(K, dtype=jnp.int32) % len(cams)
 keys = jax.random.split(jax.random.PRNGKey(0), K)
 skip = jnp.zeros(K, bool)

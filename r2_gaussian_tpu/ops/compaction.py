@@ -91,9 +91,12 @@ def _compact_fwd_kernel(ids_ref, meta_ref, count_ref, data_ref, out_ref, acc,
 
 
 def _compact_bwd_kernel(ids_ref, meta_ref, count_ref, data_ref, gout_ref,
-                        dstep_ref, *, nrows, nsteps):
+                        dout_ref, dacc, *, nrows, nsteps):
     i = pl.program_id(0)
-    dstep_ref[0] = jnp.zeros((nrows, G), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
 
     @pl.when(i < count_ref[0])
     def _():
@@ -110,7 +113,11 @@ def _compact_bwd_kernel(ids_ref, meta_ref, count_ref, data_ref, gout_ref,
         )  # (F+1, G)
         # the mask row carries no gradient (it was 0/1 metadata)
         zero_last = jax.lax.broadcasted_iota(jnp.int32, (nrows, G), 0) < nrows - 1
-        dstep_ref[0] = jnp.where(zero_last, dblock, 0.0)
+        dacc[ids_ref[i]] = jnp.where(zero_last, dblock, 0.0)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dout_ref[...] = dacc[...]
 
 
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -150,8 +157,6 @@ def _compact_fwd(kdata, ids, meta, count, ocap, bcap):
 
 
 def _compact_bwd(ocap, bcap, res, gout):
-    from .splat2d import _grad_rows_out_spec, _mask_unvisited_rows
-
     kdata, ids, meta, count = res
     nb1, nrows = kdata.shape[0], kdata.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -163,7 +168,9 @@ def _compact_bwd(ocap, bcap, res, gout):
             pl.BlockSpec((nrows, ocap + G), lambda i, ids, m, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_grad_rows_out_spec(nrows),
+        out_specs=pl.BlockSpec((nb1, nrows, G), lambda i, ids, m, c: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nb1, nrows, G), jnp.float32)],
     )
     dkdata = pl.pallas_call(
         functools.partial(_compact_bwd_kernel, nrows=nrows, nsteps=bcap),
@@ -172,7 +179,7 @@ def _compact_bwd(ocap, bcap, res, gout):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(ids, meta, count, kdata, gout)
-    return _mask_unvisited_rows(dkdata, ids), None, None, None
+    return dkdata, None, None, None
 
 
 _compact_call.defvjp(_compact_fwd, _compact_bwd)

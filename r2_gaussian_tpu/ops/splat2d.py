@@ -176,18 +176,41 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _grad_rows_out_spec(nrows, gg=G):
-    """Backward gradient out spec: each real step writes its block's row
-    directly (index map ids[i]; each block id appears at most once in ids,
-    so no scatter is needed); pad steps all land on the sentinel row (zeros
-    written once). Rows of blocks never visited stay uninitialized and are
-    masked to zero afterwards by _mask_unvisited_rows — materializing a
-    zero init buffer instead costs ~0.3 ms/MB on v5e (XLA broadcasts are
-    far below HBM bandwidth), and the dstep + inverse-permutation-gather
-    alternative costs ~1 ms/MB in the gather.
+    """Backward gradient out spec (per-step-DMA variant): each real step
+    writes its block's row directly (index map ids[i]; each block id appears
+    at most once in ids, so no scatter is needed); pad steps all land on the
+    sentinel row (zeros written once). Rows of blocks never visited stay
+    uninitialized and are masked to zero afterwards by _mask_unvisited_rows —
+    materializing a zero init buffer instead costs ~0.3 ms/MB on v5e (XLA
+    broadcasts are far below HBM bandwidth), and the dstep +
+    inverse-permutation-gather alternative costs ~1 ms/MB in the gather.
+
+    NOTE (round 4): this per-step row-DMA layout is the fallback. Measured on
+    v5e, a backward grid step with a data-dependent output index map costs
+    ~7.7 us even when the body is skipped (vs the ~0.6 us forward floor) —
+    the per-step (NF, gg) output block write cannot pipeline. The default
+    backward instead accumulates grad rows into a whole-output VMEM scratch
+    (zero-initialized in-kernel, flushed once at the last step), exactly the
+    forward image pattern; see _bwd_whole_out_spec. The scratch is
+    (NB+1, NF, gg) f32 <= ~20 MB at the 500k-gaussian capacity ceiling.
     """
     return pl.BlockSpec(
         (1, nrows, gg),
         lambda i, ids, *rest: (ids[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+# Whole-output VMEM backward (default): per-step grad rows go to a resident
+# accumulator; one flush at the end. R2G_BWD_VMEM=0 restores the per-step
+# row-DMA path for hardware A/Bs.
+_BWD_VMEM = os.environ.get("R2G_BWD_VMEM", "1") != "0"
+
+
+def _bwd_whole_out_spec(nbp1, nrows, gg=G):
+    return pl.BlockSpec(
+        (nbp1, nrows, gg),
+        lambda i, ids, *rest: (0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -350,6 +373,28 @@ def _bwd_kernel_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                          0, tiers=tiers, width=width)
 
 
+def _bwd_kernel_multi_vm(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
+                         gimg_ref, dout_ref, dacc, *, tiers, height, width,
+                         nsteps):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        packed = origin_ref[i]
+        ox = packed & 0xFFFF
+        oy = pl.multiple_of(packed >> 16, 8)
+        _direct_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dacc,
+                         ids_ref[i], tiers=tiers, width=width)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dout_ref[...] = dacc[...]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _splat_multi(data_ext, ids, origins, tsel, count, height, width, tiers):
     """Fused multi-tier direct splat. data_ext: [NB+1, NF, G] (zero
@@ -403,6 +448,22 @@ def _splat_multi_bwd(height, width, tiers, res, gimg):
     data_ext, ids, origins, tsel, count = res
     cap = ids.shape[0]
     nbp1, gg = data_ext.shape[0], data_ext.shape[2]
+    if _BWD_VMEM:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(cap,),
+            in_specs=_multi_specs(cap, height, width, True, gg=gg),
+            out_specs=_bwd_whole_out_spec(nbp1, NF, gg=gg),
+            scratch_shapes=[pltpu.VMEM((nbp1, NF, gg), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_multi_vm, tiers=tiers, height=height,
+                              width=width, nsteps=cap),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp1, NF, gg), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=not _on_tpu(),
+        )(ids, origins, tsel, count, data_ext, gimg), None, None, None, None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),
@@ -667,6 +728,28 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
                      du_scr, 0, tiers=tiers, width=width)
 
 
+def _bwd_kernel_lr_multi_vm(ids_ref, origin_ref, tsel_ref, count_ref,
+                            data_ref, gimg_ref, dout_ref, dacc, du_scr, *,
+                            tiers, height, width, nsteps):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        packed = origin_ref[i]
+        ox = packed & 0xFFFF
+        oy = pl.multiple_of(packed >> 16, 8)
+        _lr_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dacc,
+                     du_scr, ids_ref[i], tiers=tiers, width=width)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dout_ref[...] = dacc[...]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _splat_multi_lr(data_ext, ids, origins, tsel, count, height, width, tiers):
     return _splat_multi_lr_fwd_impl(data_ext, ids, origins, tsel, count,
@@ -707,6 +790,25 @@ def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
     cap = ids.shape[0]
     nbp1, gg = data_ext.shape[0], data_ext.shape[2]
     max_ww = max(ww for _, ww in tiers)
+    if _BWD_VMEM:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(cap,),
+            in_specs=_multi_specs(cap, height, width, True, gg=gg),
+            out_specs=_bwd_whole_out_spec(nbp1, NF, gg=gg),
+            scratch_shapes=[
+                pltpu.VMEM((nbp1, NF, gg), jnp.float32),
+                pltpu.VMEM((max_ww, K_LR * gg), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_lr_multi_vm, tiers=tiers,
+                              height=height, width=width, nsteps=cap),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp1, NF, gg), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=not _on_tpu(),
+        )(ids, origins, tsel, count, data_ext, gimg), None, None, None, None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap,),

@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.voxel_preprocess import VoxelPreprocessed
 from .splat2d import (
     G,
+    _BWD_VMEM,
+    _bwd_whole_out_spec,
     _col_selector,
     _extract,
     _grad_rows_out_spec,
@@ -179,8 +181,27 @@ def _bwd3_kernel(ids_ref, origin_ref, count_ref, data_ref, gvol_ref, dout_ref,
                    wx=wx, wy=wy, vz=vz, vys=vys, z_off=z_off)
 
 
+def _bwd3_kernel_vm(ids_ref, origin_ref, count_ref, data_ref, gvol_ref,
+                    dout_ref, dacc, *, wx, wy, vz, vys, z_off, nsteps):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
+
+    @pl.when(i < count_ref[0])
+    def _run():
+        _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dacc, i,
+                   wx=wx, wy=wy, vz=vz, vys=vys, z_off=z_off,
+                   row=ids_ref[i])
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dout_ref[...] = dacc[...]
+
+
 def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
-               vz, vys, z_off):
+               vz, vys, z_off, row=0):
     ox = pl.multiple_of(origin_ref[i] & 0xFFFF, 8)
     oy = origin_ref[i] >> 16
     data = data_ref[0]
@@ -275,7 +296,7 @@ def _bwd3_body(ids_ref, origin_ref, data_ref, gvol_ref, dout_ref, i, *, wx, wy,
     dib, dic, die = -sxy, -sxz, -syz
     # dL/dw = sum(galpha * e) = sum(gpow) / w (w == 0 rows carry no grad)
     dw = jnp.where(w > 0.0, s0 / jnp.where(w > 0.0, w, 1.0), 0.0)
-    dout_ref[0] = jnp.concatenate(
+    dout_ref[row] = jnp.concatenate(
         [dcx, dcy, dcz, dia, dib, dic, did, die, dif, dw,
          zero, zero, zero, zero, zero, zero], axis=0
     )
@@ -320,15 +341,32 @@ def _splat3_bwd(vxs, vys, vz, wx, wy, z_off, res, gvol):
     cap = ids.shape[0]
     nbp1 = data.shape[0]
     interpret = not _on_tpu()
+    in_specs = [
+        pl.BlockSpec((1, NF3, G), lambda i, ids, o, c: (ids[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((vxs, vys * vz), lambda i, ids, o, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if _BWD_VMEM:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cap,),
+            in_specs=in_specs,
+            out_specs=_bwd_whole_out_spec(nbp1, NF3),
+            scratch_shapes=[pltpu.VMEM((nbp1, NF3, G), jnp.float32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd3_kernel_vm, wx=wx, wy=wy, vz=vz, vys=vys,
+                              z_off=z_off, nsteps=cap),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp1, NF3, G), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(ids, origins, count, data, gvol), None, None, None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((1, NF3, G), lambda i, ids, o, c: (ids[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((vxs, vys * vz), lambda i, ids, o, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=_grad_rows_out_spec(NF3),
     )
     dkdata = pl.pallas_call(
@@ -640,10 +678,13 @@ def _lr3_fwd_kernel(count_ref, data_ref, out_ref, vol, *, nx, vz, nlanes,
         out_ref[...] = vol[...]
 
 
-def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, *, nx, vz,
-                    nlanes):
+def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, dacc, *, nx, vz,
+                    nlanes, nsteps):
     i = pl.program_id(0)
-    dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
 
     @pl.when(i < count_ref[0])
     def _():
@@ -705,9 +746,13 @@ def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, *, nx, vz,
         dpzz = rsum(gz * dz)
         dcy = -(sb * s1 + 2.0 * (pyy * s4) + pyz * s5)
         dcz = -(sc * s1 + pyz * s4 + 2.0 * (pzz * s5))
-        dout_ref[0] = jnp.concatenate(
+        dacc[i] = jnp.concatenate(
             [dcx, dcy, dcz, dkx, dsb, dsc, dpyy, dpyz, dpzz, dwq], axis=0
         )
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dout_ref[...] = dacc[...]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -756,11 +801,13 @@ def _lr3_bwd(nx, ny, nz, res, gvol):
             pl.BlockSpec((nx, nlanes), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NF3L, G), lambda i, c: (i, 0, 0),
+        out_specs=pl.BlockSpec((nb, NF3L, G), lambda i, c: (0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nb, NF3L, G), jnp.float32)],
     )
     dkdata = pl.pallas_call(
-        functools.partial(_lr3_bwd_kernel, nx=nx, vz=nz, nlanes=nlanes),
+        functools.partial(_lr3_bwd_kernel, nx=nx, vz=nz, nlanes=nlanes,
+                          nsteps=nb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF3L, G), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
