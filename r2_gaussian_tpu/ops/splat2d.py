@@ -522,64 +522,47 @@ SPILL_BCAP = 512  # source blocks visited by the spill compaction kernel
 
 
 def _lr_factor_u(d, ox, ww: int):
-    """Column factors U'[(x, k*G+g)] = wp * rho^k/k! * He_k(xh) e^{-xh^2/2}.
+    """Column factors U[(x, k*G+g)] = wp * rho^k/k! * He_k(xh) e^{-xh^2/2},
+    built by the coefficient-folded recurrence (the same telescoping as the
+    3D voxelizer, _lr3_factors in splat3d.py)
+
+        u_0 = wp e^{-xh^2/2};  u_k = (rho/k)(xh u_{k-1}) - (rho^2/k) u_{k-2}
 
     d: (NF, G) block features [mx, my, kx, ky, rho, wp, ...].
-    Returns (ww, K_LR*G) f32 plus (xs - mx) and kx for the backward chain.
+    Returns (ww, K_LR*G) f32 plus (xs - mx) and xh for the backward chain.
+    The backward consumes the columns directly (_lr_bwd_body): every
+    cotangent chain is a linear combination of u_{k-2}, u_{k-1}, u_k, so no
+    Hermite recurrence is ever re-run.
     """
     mx, kxs, rho, wp = d[0:1], d[2:3], d[4:5], d[5:6]
     xs = jax.lax.broadcasted_iota(jnp.int32, (ww, 1), 0).astype(jnp.float32)
     xs = xs + ox.astype(jnp.float32)
     dx = xs - mx  # (ww, G)
     xh = dx * kxs
-    ex = jnp.exp(-0.5 * xh * xh)
-    cols = []
-    he_p = jnp.zeros_like(dx)
-    he = jnp.ones_like(dx)
-    ck = wp
-    for k in range(K_LR):
-        if k > 0:
-            he_p, he = he, xh * he - (k - 1) * he_p
-            ck = ck * rho * (1.0 / k)
-        cols.append(ck * he * ex)
-    return jnp.concatenate(cols, axis=1), dx, xh, ex
+    cols = [wp * jnp.exp(-0.5 * xh * xh)]
+    for k in range(1, K_LR):
+        u = (rho * (1.0 / k)) * (xh * cols[-1])
+        if k > 1:
+            u = u - ((rho * rho) * (1.0 / k)) * cols[-2]
+        cols.append(u)
+    return jnp.concatenate(cols, axis=1), dx, xh
 
 
 def _lr_factor_v(d, ybase, rc: int):
-    """Row factors V[(y, k*G+g)] = He_k(yh) e^{-yh^2/2} (no coefficient)."""
+    """Row factors V[(y, k*G+g)] = He_k(yh) e^{-yh^2/2} (no coefficient):
+    v_0 = e^{-yh^2/2};  v_k = yh v_{k-1} - (k-1) v_{k-2}."""
     my, kys = d[1:2], d[3:4]
     ys = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0).astype(jnp.float32)
     ys = ys + ybase.astype(jnp.float32)
     dy = ys - my
     yh = dy * kys
-    ey = jnp.exp(-0.5 * yh * yh)
-    cols = []
-    he_p = jnp.zeros_like(dy)
-    he = jnp.ones_like(dy)
-    for k in range(K_LR):
-        if k > 0:
-            he_p, he = he, yh * he - (k - 1) * he_p
-        cols.append(he * ey)
-    return jnp.concatenate(cols, axis=1), dy, yh, ey
-
-
-def _he_series(xh, ex, dcols, coeffs=None):
-    """Given per-term cotangents dcols[k] (P, G) of factors
-    f_k = c_k He_k(xh) ex (c_k = 1 when coeffs is None), return
-    (d_xh, [sum_P dcols_k * He_k * ex]_k) — the argument cotangent and the
-    per-term coefficient cotangents."""
-    he_p = jnp.zeros_like(xh)
-    he = jnp.ones_like(xh)
-    d_xh = jnp.zeros_like(xh)
-    dc = []
-    for k in range(K_LR):
-        if k > 0:
-            he_p, he = he, xh * he - (k - 1) * he_p
-        ck = 1.0 if coeffs is None else coeffs[k]
-        # d/dxh [He_k ex] = ex (k He_{k-1} - xh He_k)
-        d_xh = d_xh + dcols[k] * ck * ex * (k * he_p - xh * he)
-        dc.append(jnp.sum(dcols[k] * he * ex, axis=0, keepdims=True))
-    return d_xh, dc
+    cols = [jnp.exp(-0.5 * yh * yh)]
+    for k in range(1, K_LR):
+        v = yh * cols[-1]
+        if k > 1:
+            v = v - (k - 1.0) * cols[-2]
+        cols.append(v)
+    return jnp.concatenate(cols, axis=1), dy, yh
 
 
 def _lr_fwd_body(d, ox, oy, t, img, *, tiers, width):
@@ -588,7 +571,7 @@ def _lr_fwd_body(d, ox, oy, t, img, *, tiers, width):
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
                 rc = _rc_lr(wh)
-                u_mat, _, _, _ = _lr_factor_u(d, ox, ww)
+                u_mat, _, _ = _lr_factor_u(d, ox, ww)
                 u16 = u_mat.astype(jnp.bfloat16)
                 bufw = _buf_width(ww, width)
                 ox_hi, ox_lo = _split_ox(ox, ww, width)
@@ -596,7 +579,7 @@ def _lr_fwd_body(d, ox, oy, t, img, *, tiers, width):
 
                 def one_chunk(step, _):
                     y0 = pl.multiple_of(oy + step * rc, 8)
-                    v_mat, _, _, _ = _lr_factor_v(d, y0, rc)
+                    v_mat, _, _ = _lr_factor_v(d, y0, rc)
                     patch = jax.lax.dot_general(
                         v_mat.astype(jnp.bfloat16), u16,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -647,7 +630,7 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
             @pl.when(t == ti)
             def _(wh=wh, ww=ww):
                 rc = _rc_lr(wh)
-                u_mat, dxs, xh, ex = _lr_factor_u(d, ox, ww)
+                u_mat, dxs, xh = _lr_factor_u(d, ox, ww)
                 u16 = u_mat.astype(jnp.bfloat16)
                 bufw = _buf_width(ww, width)
                 ox_hi, ox_lo = _split_ox(ox, ww, width)
@@ -659,7 +642,7 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                 def one_chunk(step, acc):
                     dmy, dky = acc
                     y0 = pl.multiple_of(oy + step * rc, 8)
-                    v_mat, dys, yh, ey = _lr_factor_v(d, y0, rc)
+                    v_mat, dys, yh = _lr_factor_v(d, y0, rc)
                     dpatch = _extract(
                         gimg_ref[pl.ds(y0, rc), pl.ds(ox_hi, bufw)], sel)
                     dp16 = dpatch.astype(jnp.bfloat16)
@@ -673,8 +656,17 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                         dp16, u16, dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+                    # d v_k / d yh = k v_{k-1} (He recurrence telescoped onto
+                    # the already-built columns): d_yh = s1 - yh s0 with
+                    # s0 = sum_k dv_k v_k, s1 = sum_k k dv_k v_{k-1}
                     dvk = [dv[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
-                    d_yh, _ = _he_series(yh, ey, dvk)
+                    vk = [v_mat[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
+                    s0 = dvk[0] * vk[0]
+                    s1 = jnp.zeros_like(s0)
+                    for k in range(1, K_LR):
+                        s0 = s0 + dvk[k] * vk[k]
+                        s1 = s1 + (1.0 * k) * (dvk[k] * vk[k - 1])
+                    d_yh = s1 - yh * s0
                     dmy = dmy - jnp.sum(d_yh * kys, axis=0, keepdims=True)
                     dky = dky + jnp.sum(d_yh * dys, axis=0, keepdims=True)
                     return dmy, dky
@@ -689,24 +681,32 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                     acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
                 dmy, dky = acc
 
+                # x side on the coefficient-folded columns u_k:
+                #   d u_k / d xh  = rho u_{k-1} - xh u_k   (c_k/c_{k-1} = rho/k)
+                #   d u_k / d wp  = u_k / wp
+                #   wp r_{k-1} He_k ex = xh u_{k-1} - rho u_{k-2}  (drho chain)
+                # so with s0 = sum_k du_k u_k, s1 = sum_{k>=1} du_k u_{k-1},
+                # s2 = sum_{k>=2} du_k u_{k-2}:
+                #   d_xh = rho s1 - xh s0;  dwp = rsum(s0)/wp;
+                #   drho = rsum(xh s1 - rho s2)
                 du = du_scr[pl.ds(0, ww), :]
                 duk = [du[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
-                rks = []
-                rk = jnp.ones_like(wp)
-                for k in range(K_LR):
-                    if k > 0:
-                        rk = rk * rho * (1.0 / k)
-                    rks.append(rk)
-                coeffs = [wp * r for r in rks]
-                d_xh, dc = _he_series(xh, ex, duk, coeffs=coeffs)
+                uk = [u_mat[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
+                s0 = duk[0] * uk[0]
+                s1 = duk[1] * uk[0]
+                s2 = jnp.zeros_like(s0)
+                for k in range(1, K_LR):
+                    s0 = s0 + duk[k] * uk[k]
+                    if k >= 2:
+                        s1 = s1 + duk[k] * uk[k - 1]
+                        s2 = s2 + duk[k] * uk[k - 2]
+                d_xh = rho * s1 - xh * s0
                 dmx = -jnp.sum(d_xh * kxs, axis=0, keepdims=True)
                 dkx = jnp.sum(d_xh * dxs, axis=0, keepdims=True)
-                dwp = jnp.zeros_like(wp)
-                drho = jnp.zeros_like(wp)
-                for k in range(K_LR):
-                    dwp = dwp + dc[k] * rks[k]
-                    if k > 0:
-                        drho = drho + dc[k] * wp * rks[k - 1]
+                swp = jnp.where(wp > 0.0, wp, 1.0)
+                dwp = jnp.where(
+                    wp > 0.0, jnp.sum(s0, axis=0, keepdims=True) / swp, 0.0)
+                drho = jnp.sum(xh * s1 - rho * s2, axis=0, keepdims=True)
                 dout_ref[row] = jnp.concatenate(
                     [dmx, dmy, dkx, dky, drho, dwp, zeros, zeros, zeros, zeros],
                     axis=0,
