@@ -619,7 +619,7 @@ def _fwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
         out_ref[...] = img[...]
 
 
-def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
+def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, row, *, tiers,
                  width):
     mx, my = d[0:1], d[1:2]
     kxs, kys, rho, wp = d[2:3], d[3:4], d[4:5], d[5:6]
@@ -636,22 +636,23 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                 ox_hi, ox_lo = _split_ox(ox, ww, width)
                 sel = _col_selector(ox_lo, ww, bufw)
                 gg = d.shape[-1]
-                du_scr[pl.ds(0, ww), :] = jnp.zeros((ww, K_LR * gg),
-                                                    jnp.float32)
 
+                # du is carried as a loop value (not a VMEM scratch ref):
+                # the per-block zero-init write and the read-modify-write
+                # round trip per chunk are pure VMEM traffic the compiler
+                # can otherwise not elide.
                 def one_chunk(step, acc):
-                    dmy, dky = acc
+                    du, dmy, dky = acc
                     y0 = pl.multiple_of(oy + step * rc, 8)
                     v_mat, dys, yh = _lr_factor_v(d, y0, rc)
                     dpatch = _extract(
                         gimg_ref[pl.ds(y0, rc), pl.ds(ox_hi, bufw)], sel)
                     dp16 = dpatch.astype(jnp.bfloat16)
-                    du_scr[pl.ds(0, ww), :] = du_scr[pl.ds(0, ww), :] + \
-                        jax.lax.dot_general(
-                            dp16, v_mat.astype(jnp.bfloat16),
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
+                    du = du + jax.lax.dot_general(
+                        dp16, v_mat.astype(jnp.bfloat16),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                     dv = jax.lax.dot_general(
                         dp16, u16, dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -669,17 +670,17 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                     d_yh = s1 - yh * s0
                     dmy = dmy - jnp.sum(d_yh * kys, axis=0, keepdims=True)
                     dky = dky + jnp.sum(d_yh * dys, axis=0, keepdims=True)
-                    return dmy, dky
+                    return du, dmy, dky
 
                 zeros = jnp.zeros_like(wp)
                 n_chunks = wh // rc
-                acc = (zeros, zeros)
+                acc = (jnp.zeros((ww, K_LR * gg), jnp.float32), zeros, zeros)
                 if n_chunks <= _UNROLL_MAX:
                     for step in range(n_chunks):
                         acc = one_chunk(step, acc)
                 else:
                     acc = jax.lax.fori_loop(0, n_chunks, one_chunk, acc)
-                dmy, dky = acc
+                du, dmy, dky = acc
 
                 # x side on the coefficient-folded columns u_k:
                 #   d u_k / d xh  = rho u_{k-1} - xh u_k   (c_k/c_{k-1} = rho/k)
@@ -689,7 +690,6 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
                 # s2 = sum_{k>=2} du_k u_{k-2}:
                 #   d_xh = rho s1 - xh s0;  dwp = rsum(s0)/wp;
                 #   drho = rsum(xh s1 - rho s2)
-                du = du_scr[pl.ds(0, ww), :]
                 duk = [du[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
                 uk = [u_mat[:, k * gg:(k + 1) * gg] for k in range(K_LR)]
                 s0 = duk[0] * uk[0]
@@ -714,7 +714,7 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, du_scr, row, *, tiers,
 
 
 def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
-                         gimg_ref, dout_ref, du_scr, *, tiers, height,
+                         gimg_ref, dout_ref, *, tiers, height,
                          width):
     i = pl.program_id(0)
     dout_ref[0] = jnp.zeros(dout_ref.shape[1:], jnp.float32)
@@ -725,11 +725,11 @@ def _bwd_kernel_lr_multi(ids_ref, origin_ref, tsel_ref, count_ref, data_ref,
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
         _lr_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dout_ref,
-                     du_scr, 0, tiers=tiers, width=width)
+                     0, tiers=tiers, width=width)
 
 
 def _bwd_kernel_lr_multi_vm(ids_ref, origin_ref, tsel_ref, count_ref,
-                            data_ref, gimg_ref, dout_ref, dacc, du_scr, *,
+                            data_ref, gimg_ref, dout_ref, dacc, *,
                             tiers, height, width, nsteps):
     i = pl.program_id(0)
 
@@ -743,7 +743,7 @@ def _bwd_kernel_lr_multi_vm(ids_ref, origin_ref, tsel_ref, count_ref,
         ox = packed & 0xFFFF
         oy = pl.multiple_of(packed >> 16, 8)
         _lr_bwd_body(data_ref[0], ox, oy, tsel_ref[i], gimg_ref, dacc,
-                     du_scr, ids_ref[i], tiers=tiers, width=width)
+                     ids_ref[i], tiers=tiers, width=width)
 
     @pl.when(i == nsteps - 1)
     def _():
@@ -789,7 +789,6 @@ def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
     data_ext, ids, origins, tsel, count = res
     cap = ids.shape[0]
     nbp1, gg = data_ext.shape[0], data_ext.shape[2]
-    max_ww = max(ww for _, ww in tiers)
     if _BWD_VMEM:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -798,7 +797,6 @@ def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
             out_specs=_bwd_whole_out_spec(nbp1, NF, gg=gg),
             scratch_shapes=[
                 pltpu.VMEM((nbp1, NF, gg), jnp.float32),
-                pltpu.VMEM((max_ww, K_LR * gg), jnp.float32),
             ],
         )
         return pl.pallas_call(
@@ -814,7 +812,6 @@ def _splat_multi_lr_bwd(height, width, tiers, res, gimg):
         grid=(cap,),
         in_specs=_multi_specs(cap, height, width, True, gg=gg),
         out_specs=_grad_rows_out_spec(NF, gg=gg),
-        scratch_shapes=[pltpu.VMEM((max_ww, K_LR * gg), jnp.float32)],
     )
     dkdata = pl.pallas_call(
         functools.partial(_bwd_kernel_lr_multi, tiers=tiers, height=height,
@@ -873,7 +870,7 @@ def _fwd_kernel_b(origin_ref, tsel_ref, data_ref, out_ref, img, *, tiers,
         out_ref[...] = img[...]
 
 
-def _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref, du_scr,
+def _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref,
                   *, tiers, width, batch, lr):
     i = pl.program_id(0)
     dout_ref[...] = jnp.zeros(dout_ref.shape, jnp.float32)
@@ -889,7 +886,7 @@ def _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref, du_scr,
             oy = pl.multiple_of(packed >> 16, 8)
             if lr:
                 _lr_bwd_body(data_ref[j], ox, oy, t, gimg_ref, dout_ref,
-                             du_scr, j, tiers=tiers, width=width)
+                             j, tiers=tiers, width=width)
             else:
                 _direct_bwd_body(data_ref[j], ox, oy, t, gimg_ref, dout_ref,
                                  j, tiers=tiers, width=width)
@@ -938,8 +935,6 @@ def _splat_b_bwd(height, width, tiers, lr, batch, res, gimg):
     kdata, origins, tsel = res
     nbp, _, gg = kdata.shape
     nsteps = nbp // batch
-    max_ww = max(ww for _, ww in tiers)
-    scratch = [pltpu.VMEM((max_ww, K_LR * gg), jnp.float32)] if lr else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
@@ -951,14 +946,11 @@ def _splat_b_bwd(height, width, tiers, lr, batch, res, gimg):
         ],
         out_specs=pl.BlockSpec((batch, NF, gg), lambda i, o, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
     )
 
-    def kernel(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref,
-               *maybe_scr):
-        du_scr = maybe_scr[0] if lr else None
+    def kernel(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref):
         _bwd_kernel_b(origin_ref, tsel_ref, data_ref, gimg_ref, dout_ref,
-                      du_scr, tiers=tiers, width=width, batch=batch, lr=lr)
+                      tiers=tiers, width=width, batch=batch, lr=lr)
 
     dkdata = pl.pallas_call(
         kernel,
