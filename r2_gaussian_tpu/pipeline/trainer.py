@@ -68,8 +68,11 @@ def make_train_fn(
     capacity — at the measured steady state (61k live in a 262k buffer)
     the capacity-proportional XLA glue (EWA preprocess, feature build,
     block routing) was ~2.4 ms of a ~14 ms step. Adam, EMA and the
-    densify-stat arrays stay at capacity (elementwise, cheap); gradients
-    beyond n_rows are exactly zero because those rows are inactive.
+    densify-stat updates also run at bucket width and land in the
+    full-capacity carry via in-place prefix writes: gradients beyond
+    n_rows are exactly zero (inactive rows are never rendered) and spawn
+    zeroes Adam moments, so the only dropped work is decay of dead rows
+    nobody reads.
 
     With `mesh`, the identical step body runs under shard_map with the
     gaussian axis sharded over the mesh: each device renders/voxelizes its
@@ -100,12 +103,9 @@ def make_train_fn(
         assert n_rows is None, "row slicing is single-chip only"
 
     def loss_fn(params, d2, active, view_idx, key_tv):
-        if n_rows is not None:
-            # slice BEFORE activate so the softplus/sigmoid/normalize run on
-            # the live bucket only; the slice VJP zero-pads gradients back
-            # to capacity, so gp keeps the full-capacity shape exactly
-            params = jax.tree.map(lambda a: a[:n_rows], params)
-            active = active[:n_rows]
+        # `params`/`active` arrive already sliced to the row bucket when
+        # n_rows is set (see body below), so the softplus/sigmoid/normalize
+        # and the whole render/TV path run on the live bucket only.
         xyz, scales, rots, dens = activate(params, sb)
         out = render(
             xyz, scales, rots, dens,
@@ -149,10 +149,20 @@ def make_train_fn(
         def body(k, carry):
             state, metrics = carry
             iteration = iter0 + k + 1
-            rows = (state.params.capacity if n_rows is None else n_rows)
-            d2 = jnp.zeros((rows, 2), jnp.float32)
+            # Hot-path (bucket) views of the state. With n_rows set, the
+            # ENTIRE per-step pipeline — activate, render, TV, backward,
+            # Adam, EMA, densify stats — runs at bucket width; full-capacity
+            # arrays are only touched by in-place prefix writes (the loop
+            # carry is donated, so XLA updates the prefix without copying
+            # the tail). Rows beyond n_rows are inactive: never visible,
+            # exactly-zero gradients, and (since spawn zeroes moments) any
+            # Adam tail update would only decay dead rows nobody reads.
+            sl = ((lambda a: a[:n_rows]) if n_rows is not None
+                  else (lambda a: a))
+            p_h = jax.tree.map(sl, state.params)
+            d2 = jnp.zeros((p_h.xyz.shape[0], 2), jnp.float32)
             (total, (radii, l1, dssim, tv)), (gp, gd2) = grad_fn(
-                state.params, d2, state.aux.active, view_indices[k], keys[k]
+                p_h, d2, sl(state.aux.active), view_indices[k], keys[k]
             )
 
             # A non-finite loss means the grads are poison: reject the whole
@@ -169,45 +179,62 @@ def make_train_fn(
             ) + jnp.sum(gd2)
             ok = jnp.isfinite(total) & jnp.isfinite(gsum)
 
-            # densification stats (train.py:149-154)
+            # Write a bucket-width update into the full-capacity carry.
+            # With n_rows set this is a dynamic-update-slice on a donated
+            # loop carry (in-place prefix write); otherwise the identity.
+            if n_rows is not None:
+                wb = lambda full, pre: full.at[:n_rows].set(pre)  # noqa: E731
+            else:
+                wb = lambda full, pre: pre  # noqa: E731
+
+            # densification stats (train.py:149-154), at bucket width
             visible = (radii > 0) & ok
             grad_norm = jnp.linalg.norm(gd2, axis=-1)
-            if n_rows is not None:
-                # rows beyond n_rows are inactive: never visible, zero grads
-                pad = (0, state.params.capacity - n_rows)
-                visible = jnp.pad(visible, pad)
-                grad_norm = jnp.pad(grad_norm, pad)
-                radii = jnp.pad(radii, pad)
             aux = state.aux
             aux = aux._replace(
-                max_radii2d=jnp.where(
+                max_radii2d=wb(aux.max_radii2d, jnp.where(
                     visible,
-                    jnp.maximum(aux.max_radii2d, radii.astype(jnp.float32)),
-                    aux.max_radii2d,
-                ),
-                xyz_gradient_accum=aux.xyz_gradient_accum
-                + jnp.where(visible, grad_norm, 0.0),
-                denom=aux.denom + visible.astype(jnp.float32),
+                    jnp.maximum(sl(aux.max_radii2d),
+                                radii.astype(jnp.float32)),
+                    sl(aux.max_radii2d),
+                )),
+                xyz_gradient_accum=wb(
+                    aux.xyz_gradient_accum,
+                    sl(aux.xyz_gradient_accum)
+                    + jnp.where(visible, grad_norm, 0.0)),
+                denom=wb(aux.denom,
+                         sl(aux.denom) + visible.astype(jnp.float32)),
             )
 
             lrs = group_lrs(opt_cfg, iteration)
-            new_p, new_adam = adam_update(state.params, gp, state.adam, lrs)
+            adam_h = AdamState(m=jax.tree.map(sl, state.adam.m),
+                               v=jax.tree.map(sl, state.adam.v),
+                               step=state.adam.step)
+            new_p_h, new_adam_h = adam_update(p_h, gp, adam_h, lrs)
             skip = skip_update[k] | ~ok
-            new_p = jax.tree.map(
-                lambda a, b: jnp.where(skip, a, b), state.params, new_p
+            new_p_h = jax.tree.map(
+                lambda a, b: jnp.where(skip, a, b), p_h, new_p_h
             )
-            new_adam = jax.tree.map(
-                lambda a, b: jnp.where(skip, a, b), state.adam, new_adam
+            new_adam_h = jax.tree.map(
+                lambda a, b: jnp.where(skip, a, b), adam_h, new_adam_h
+            )
+            new_p = jax.tree.map(wb, state.params, new_p_h)
+            new_adam = AdamState(
+                m=jax.tree.map(wb, state.adam.m, new_adam_h.m),
+                v=jax.tree.map(wb, state.adam.v, new_adam_h.v),
+                step=new_adam_h.step,
             )
             new_ema = state.ema
             if state.ema is not None:
-                new_ema = jax.tree.map(
+                new_ema_h = jax.tree.map(
                     lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                    state.ema, new_p,
+                    jax.tree.map(sl, state.ema), new_p_h,
                 )
-                new_ema = jax.tree.map(
-                    lambda a, b: jnp.where(skip, a, b), state.ema, new_ema
+                new_ema_h = jax.tree.map(
+                    lambda a, b: jnp.where(skip, a, b),
+                    jax.tree.map(sl, state.ema), new_ema_h
                 )
+                new_ema = jax.tree.map(wb, state.ema, new_ema_h)
             n_vis = jnp.sum(visible).astype(jnp.float32)
             if mesh is not None:
                 n_vis = jax.lax.psum(n_vis, shard_axis)
