@@ -230,6 +230,11 @@ def compact_lanes(comps, mask, *, ocap: int, bcap: int, rotate: int | None = Non
     assert ocap % G == 0
     n = comps[0].shape[0]
     nb = n // G
+    # The grid cannot usefully visit more blocks than exist: with the
+    # trainer's row bucket the caller's capacity-sized bcap (e.g. the TV
+    # query's 1024) can exceed nb (512 at a 65536 bucket) and every extra
+    # grid step is pure per-step overhead, fwd and bwd.
+    bcap = min(bcap, nb)
     mask2 = mask.reshape(nb, G)
     bc = jnp.sum(mask2.astype(jnp.int32), axis=1)  # (nb,)
     btouch = bc > 0
