@@ -383,7 +383,10 @@ def worker():
             "detail": {
                 "case": "shepp_logan_blurred_cone_25view",
                 "detector": det, "volume": vol_size,
-                "n_gaussians": int(np.asarray(trainer.state.aux.n_active)),
+                # host-cached count: result() runs after every chunk and a
+                # device fetch of the n_active reduction is a full tunnel
+                # round trip
+                "n_gaussians": trainer._n_active(),
                 "platform": "tpu" if on_tpu else "cpu",
                 "measured_iters":
                     f"{warm_iters + 1}-{warm_iters + done_iters}",

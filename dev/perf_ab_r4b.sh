@@ -16,8 +16,8 @@ run () {  # tag env...
     2>/dev/null | tail -6 >> $OUT
 }
 
+# group1 == group2 in wave 1, so the larger-GROUP sweep is a predictable
+# wash — dropped to get the trace/probe jobs (the actual decision data)
+# onto the chip sooner. Keep one post-trainer-change defaults re-measure.
 run defaults_post_slice
-run group4 R2G_GROUP=4
-run group3 R2G_GROUP=3
-run group4_split2 R2G_GROUP=4 R2G_SELDOT=split2
 echo "PERF AB B DONE" >> $OUT

@@ -370,6 +370,31 @@ class Trainer:
             out[j] = self._perm[pos]
         return out
 
+    @property
+    def state(self) -> TrainState:
+        return self._state
+
+    @state.setter
+    def state(self, s: TrainState):
+        # External assignments (checkpoint resume, dev harnesses) may change
+        # the live-row count; drop the host cache. Internal per-step
+        # assignments bypass the setter (_dispatch) because train steps never
+        # touch `active`.
+        self._state = s
+        self._n_active_host = None
+
+    def _n_active(self) -> int:
+        """Host-side live gaussian count. `aux.n_active` is a device
+        reduction, so every `int(...)` of it is a dispatch plus a full
+        device->host round trip — through the tunneled TPU that is
+        milliseconds, and _row_bucket needs the count on every dispatch.
+        The count only changes at densify events (which return it) and
+        external state assignment (which invalidates via the setter), so
+        one fetch is exact until then."""
+        if self._n_active_host is None:
+            self._n_active_host = int(np.asarray(self.state.aux.n_active))
+        return self._n_active_host
+
     def _row_bucket(self) -> int | None:
         """Static row-count bucket for the hot path: the smallest power-of-2
         multiple of 8192 holding the live rows (actives are a prefix —
@@ -380,7 +405,7 @@ class Trainer:
         if self.mesh is not None:
             return None
         cap = int(self.state.params.capacity)
-        n = int(self.state.aux.n_active)
+        n = self._n_active()
         b = 8192
         while b < n:
             b *= 2
@@ -454,7 +479,9 @@ class Trainer:
         # syncs every kernel launch — debug mode trades speed for evidence)
         state_host = (None if self.debug_dir is None
                       else jax.tree.map(np.asarray, self.state))
-        self.state, metrics = retry_transient(
+        # direct _state write: train steps never change `active`, so the
+        # host-side n_active cache stays exact across the dispatch
+        self._state, metrics = retry_transient(
             fn, self.state, jnp.asarray(views), keys, jnp.asarray(skip),
             jnp.int32(self.iteration),
         )
@@ -568,6 +595,7 @@ class Trainer:
 
             self.state = shard_train_state(self.state, self.mesh, self.shard_axis)
         n = int(n)
+        self._n_active_host = n  # surgery's return is the exact new count
         if n == 0:
             raise ValueError(
                 "No Gaussian left. Change adaptive control hyperparameters!"
@@ -577,7 +605,7 @@ class Trainer:
     def _maybe_grow_capacity(self):
         """Ensure capacity can absorb a worst-case doubling densify event."""
         cap = self.state.params.capacity
-        n = int(self.state.aux.n_active)
+        n = self._n_active()
         limit = self.densify_cfg.max_num_gaussians
         # densify is budget-clamped, so one event reaches at most
         # min(2n, max(n, limit)) active gaussians
