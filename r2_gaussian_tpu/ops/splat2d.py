@@ -703,6 +703,15 @@ def _lr_bwd_body(d, ox, oy, t, gimg_ref, dout_ref, row, *, tiers,
                 d_xh = rho * s1 - xh * s0
                 dmx = -jnp.sum(d_xh * kxs, axis=0, keepdims=True)
                 dkx = jnp.sum(d_xh * dxs, axis=0, keepdims=True)
+                # dwp divides the wp-proportional products back out, which
+                # is exact ONLY because wp = softplus(density)*mu >= 0 by
+                # construction (preprocess): wp == 0 marks culled rows whose
+                # gradient is intentionally masked to 0, never a sign
+                # change. A signed-density change upstream would silently
+                # zero live gradients here — keep the weight nonnegative or
+                # rework this reconstruction. wp underflowing to denormal
+                # also flushes dwp to 0 (columns underflow first), which is
+                # below any useful gradient signal anyway.
                 swp = jnp.where(wp > 0.0, wp, 1.0)
                 dwp = jnp.where(
                     wp > 0.0, jnp.sum(s0, axis=0, keepdims=True) / swp, 0.0)

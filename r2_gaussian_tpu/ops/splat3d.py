@@ -678,17 +678,10 @@ def _lr3_fwd_kernel(count_ref, data_ref, out_ref, vol, *, nx, vz, nlanes,
         out_ref[...] = vol[...]
 
 
-def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, dacc, *, nx, vz,
-                    nlanes, nsteps):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        dacc[...] = jnp.zeros_like(dacc)
-
-    @pl.when(i < count_ref[0])
-    def _():
-        d = data_ref[0]
+def _lr3_grad_row(d, gvol_ref, *, nx, vz, nlanes):
+    """Gradient row (NF3L, G) of one feature block w.r.t. the low-rank
+    TV-query output cotangent held in gvol_ref."""
+    if True:  # keep the original body's indentation
         kx, sb, sc = d[3:4], d[4:5], d[5:6]
         pyy, pyz, pzz = d[6:7], d[7:8], d[8:9]
         wq = d[9:10]
@@ -746,13 +739,46 @@ def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, dacc, *, nx, vz,
         dpzz = rsum(gz * dz)
         dcy = -(sb * s1 + 2.0 * (pyy * s4) + pyz * s5)
         dcz = -(sc * s1 + pyz * s4 + 2.0 * (pzz * s5))
-        dacc[i] = jnp.concatenate(
+        return jnp.concatenate(
             [dcx, dcy, dcz, dkx, dsb, dsc, dpyy, dpyz, dpzz, dwq], axis=0
         )
+
+
+def _lr3_bwd_kernel_vm(count_ref, data_ref, gvol_ref, dout_ref, dacc, *, nx,
+                       vz, nlanes, nsteps):
+    """Whole-output VMEM-accumulator variant (default): grad rows build up
+    in scratch, one flush at the end."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dacc[...] = jnp.zeros_like(dacc)
+
+    @pl.when(i < count_ref[0])
+    def _():
+        dacc[i] = _lr3_grad_row(data_ref[0], gvol_ref, nx=nx, vz=vz,
+                                nlanes=nlanes)
 
     @pl.when(i == nsteps - 1)
     def _():
         dout_ref[...] = dacc[...]
+
+
+def _lr3_bwd_kernel(count_ref, data_ref, gvol_ref, dout_ref, *, nx, vz,
+                    nlanes, nsteps):
+    """Per-step-DMA variant (R2G_BWD_VMEM=0 hardware escape hatch): each
+    step writes its own grad row; rows past the live count write zeros."""
+    i = pl.program_id(0)
+    live = i < count_ref[0]
+
+    @pl.when(live)
+    def _():
+        dout_ref[0] = _lr3_grad_row(data_ref[0], gvol_ref, nx=nx, vz=vz,
+                                    nlanes=nlanes)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dout_ref[...] = jnp.zeros_like(dout_ref)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -792,22 +818,35 @@ def _lr3_bwd(nx, ny, nz, res, gvol):
     kdata, count = res
     nb = kdata.shape[0]
     nlanes = ny * nz
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, NF3L, G), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nx, nlanes), lambda i, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nb, NF3L, G), lambda i, c: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nb, NF3L, G), jnp.float32)],
-    )
+    in_specs = [
+        pl.BlockSpec((1, NF3L, G), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nx, nlanes), lambda i, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if _BWD_VMEM:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((nb, NF3L, G), lambda i, c: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((nb, NF3L, G), jnp.float32)],
+        )
+        kern = functools.partial(_lr3_bwd_kernel_vm, nx=nx, vz=nz,
+                                 nlanes=nlanes, nsteps=nb)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, NF3L, G), lambda i, c: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kern = functools.partial(_lr3_bwd_kernel, nx=nx, vz=nz,
+                                 nlanes=nlanes, nsteps=nb)
     dkdata = pl.pallas_call(
-        functools.partial(_lr3_bwd_kernel, nx=nx, vz=nz, nlanes=nlanes,
-                          nsteps=nb),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF3L, G), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

@@ -102,43 +102,88 @@ def canonical_state_rows(state):
     The densify compaction sorts by Morton code; f32 summation-order noise
     (~1e-8) can flip a Morton bit and permute a few rows between a sharded
     and a single-device trajectory, so rows are matched by sorting on their
-    (position, density) content instead of buffer order. Shared by the
+    (position, density, scaling) content instead of buffer order. Exact
+    clone duplicates (densify copies the whole params row, so every param
+    key ties) are disambiguated by total Adam-moment magnitude: the fresh
+    clone starts with zeroed moments while the original keeps its history,
+    which orders the pair identically in both trajectories. Shared by the
     sharded-vs-single equivalence test (tests/test_multichip.py) and the
     driver dryrun below."""
     import jax
 
     act = np.asarray(state.aux.active)
+    n_act = int(act.sum())
     xyz = np.asarray(state.params.xyz)[act]
     den = np.asarray(state.params.density)[act, 0]
-    order = np.lexsort((den, xyz[:, 2], xyz[:, 1], xyz[:, 0]))
+    scal = np.asarray(state.params.scaling)[act]
+    mom = np.zeros(n_act, np.float64)
+    for leaf in jax.tree_util.tree_leaves(state.adam):
+        leaf = np.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == act.shape[0]:
+            mom += np.abs(leaf[act].astype(np.float64)).reshape(n_act, -1).sum(1)
+    order = np.lexsort(
+        (mom, scal[:, 2], scal[:, 1], scal[:, 0], den,
+         xyz[:, 2], xyz[:, 1], xyz[:, 0]))
     out = {}
     for name in ("params", "adam", "aux"):
         tree = jax.tree.map(np.asarray, getattr(state, name))
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = name + jax.tree_util.keystr(path)
             if leaf.ndim >= 1 and leaf.shape[0] == act.shape[0]:
-                out[f"{name}{path}"] = leaf[act][order]
+                out[key] = leaf[act][order]
             else:
-                out[f"{name}{path}"] = leaf
+                out[key] = leaf
     return out
 
 
-def equivalence_deltas(state_a, state_b):
-    """Max elementwise |a-b| and |a-b|/(|a|+1e-12) over matched canonical
-    rows of two TrainStates. Raises if the active sets differ in size."""
+def leaf_budget(key):
+    """(rtol, atol) equivalence budget for a canonical state leaf. Rotation
+    gradients of near-isotropic gaussians are differences of
+    near-cancelling terms; psum summation-order noise is amplified through
+    Adam's m/sqrt(v) normalization into ~1e-4 wiggle on the (order-1)
+    quaternions. Everything else matches to f32 tolerance."""
+    return (2e-3, 2e-3) if "rotation" in key else (2e-3, 2e-5)
+
+
+def per_leaf_equivalence(state_a, state_b):
+    """Per-leaf sharded-vs-single deltas, each normalized against its
+    rtol/atol budget. Returns (ok, report) where report[key] =
+    {max_abs, rtol, atol, budget_frac} and budget_frac <= 1 means the leaf
+    is within budget (max over elements of |a-b| / (atol + rtol*|a|))."""
     a = canonical_state_rows(state_a)
     b = canonical_state_rows(state_b)
     assert a.keys() == b.keys()
-    max_abs = 0.0
-    max_rel = 0.0
+    report = {}
+    ok = True
     for key in a:
         x, y = np.asarray(a[key], np.float64), np.asarray(b[key], np.float64)
         assert x.shape == y.shape, (key, x.shape, y.shape)
         if x.size == 0 or not np.issubdtype(x.dtype, np.floating):
             continue
+        rtol, atol = leaf_budget(key)
         d = np.abs(x - y)
-        max_abs = max(max_abs, float(d.max()))
-        max_rel = max(max_rel, float((d / (np.abs(x) + 1e-12)).max()))
-    return max_abs, max_rel
+        frac = float((d / (atol + rtol * np.abs(x))).max())
+        report[key] = {"max_abs": float(d.max()), "rtol": rtol, "atol": atol,
+                       "budget_frac": round(frac, 4)}
+        ok = ok and frac <= 1.0
+    return ok, report
+
+
+def summarize_dryrun(n_devices: int, r: dict) -> str:
+    """One unambiguous pass/fail line for the driver artifact: every leaf's
+    delta is reported as a fraction of its own rtol/atol budget (<= 1
+    passes), so no raw near-zero-denominator relative number appears."""
+    worst_key, worst = r["worst_leaf"]
+    n_leaves = len(r["leaf_deltas"])
+    return (
+        f"dryrun_multichip({n_devices}): sharded chunk OK across densify + "
+        f"capacity growth {r['capacity'][0]}->{r['capacity'][1]}, "
+        f"loss={r['loss']:.4f}, n_active={r['n_active']}; sharded-vs-single "
+        f"full-state equivalence: PASS — all {n_leaves} state leaves within "
+        f"their rtol/atol budgets; worst leaf {worst_key}: max_abs="
+        f"{worst['max_abs']:.2e} at {100 * worst['budget_frac']:.1f}% of its "
+        f"budget (rtol={worst['rtol']:g}, atol={worst['atol']:g})"
+    )
 
 
 def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32,
@@ -154,10 +199,11 @@ def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32,
     lowers the actual production splat kernels under shard_map (interpret
     mode on the virtual CPU mesh), not just the dense oracle path.
 
-    Returns {loss, n_active, capacity: (before, after), max_abs_delta,
-    max_rel_delta} — the deltas are the sharded-vs-single full-state
-    equivalence measurement (params + Adam moments + densify stats over
-    canonically matched rows).
+    Returns {loss, n_active, capacity: (before, after), equiv_ok,
+    max_abs_delta, worst_leaf, leaf_deltas} — the sharded-vs-single
+    full-state equivalence measurement (params + Adam moments + densify
+    stats over canonically matched rows), each leaf checked against its
+    rtol/atol budget from `leaf_budget` (budget_frac <= 1 passes).
     """
     from ..pipeline.trainer import Trainer
 
@@ -185,12 +231,14 @@ def dryrun(n_devices: int, n_per_device: int = 128, det: int = 32,
     assert n1 == n_active, (n1, n_active)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(metrics),
                                rtol=2e-4, atol=1e-5)
-    max_abs, max_rel = equivalence_deltas(single.state, sharded.state)
-    # Adam-normalized quaternion wiggle bounds the worst case (see
-    # tests/test_multichip.py for the per-leaf budget breakdown)
-    assert max_abs < 5e-3, max_abs
+    ok, report = per_leaf_equivalence(single.state, sharded.state)
+    assert ok, {k: v for k, v in report.items() if v["budget_frac"] > 1.0}
+    worst = max(report, key=lambda k: report[k]["budget_frac"])
     return {
         "loss": loss, "n_active": int(n_active),
         "capacity": (cap0, cap1),
-        "max_abs_delta": max_abs, "max_rel_delta": max_rel,
+        "equiv_ok": ok,
+        "max_abs_delta": max(v["max_abs"] for v in report.values()),
+        "worst_leaf": (worst, report[worst]),
+        "leaf_deltas": report,
     }

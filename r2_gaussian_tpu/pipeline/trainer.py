@@ -392,7 +392,18 @@ class Trainer:
         external state assignment (which invalidates via the setter), so
         one fetch is exact until then."""
         if self._n_active_host is None:
-            self._n_active_host = int(np.asarray(self.state.aux.n_active))
+            n = int(np.asarray(self.state.aux.n_active))
+            # The row-bucket hot path renders/optimizes only rows[:bucket];
+            # init and densify keep active rows a prefix, but an externally
+            # assigned state (checkpoint resume, dev harness) is validated
+            # here — a non-prefix state would silently freeze live rows
+            # above the bucket. Refills are rare (init + state assignment),
+            # so the extra mask fetch is off the hot path.
+            act = np.asarray(self.state.aux.active)
+            assert act[:n].all() and not act[n:].any(), (
+                f"active rows must be a compacted prefix (n_active={n}); "
+                "run densify compaction before assigning this state")
+            self._n_active_host = n
         return self._n_active_host
 
     def _row_bucket(self) -> int | None:

@@ -13,7 +13,7 @@ def test_sharded_train_step_runs_and_matches_replicated():
     r = dryrun(8, n_per_device=64, det=32)
     assert np.isfinite(r["loss"])
     assert r["capacity"][1] > r["capacity"][0]
-    assert r["max_abs_delta"] < 5e-3
+    assert r["equiv_ok"], r["worst_leaf"]
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -41,21 +41,13 @@ def test_sharded_trainer_matches_single_device_across_densify():
     assert n1 == n2 and n1 is not None
     np.testing.assert_allclose(m2, m1, rtol=2e-4, atol=1e-5)
 
-    from r2_gaussian_tpu.parallel.train_sharded import canonical_state_rows
+    from r2_gaussian_tpu.parallel.train_sharded import per_leaf_equivalence
 
-    a = canonical_state_rows(single.state)
-    b = canonical_state_rows(sharded.state)
-    assert a.keys() == b.keys()
-    for key in a:
-        # Rotation gradients of near-isotropic gaussians are differences of
-        # near-cancelling terms; psum summation-order noise is amplified
-        # through Adam's m/sqrt(v) normalization into ~1e-4 wiggle on the
-        # (order-1) quaternions. Everything else matches to f32 tolerance.
-        atol = 2e-3 if "rotation" in key else 2e-5
-        np.testing.assert_allclose(
-            b[key], a[key], rtol=2e-3, atol=atol,
-            err_msg=f"{key} diverged between sharded and single",
-        )
+    # Budgets live in train_sharded.leaf_budget (rotation quaternions get a
+    # wider atol: psum summation-order noise amplified through Adam's
+    # m/sqrt(v) normalization); the driver dryrun asserts the same check.
+    ok, report = per_leaf_equivalence(single.state, sharded.state)
+    assert ok, {k: v for k, v in report.items() if v["budget_frac"] > 1.0}
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

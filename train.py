@@ -41,7 +41,7 @@ from r2_gaussian_tpu.pipeline.config import (
     load_yaml_config,
 )
 from r2_gaussian_tpu.pipeline.trainer import Trainer, TrainState
-from r2_gaussian_tpu.pipeline.optim import init_adam
+from r2_gaussian_tpu.pipeline.optim import group_lrs, init_adam
 from r2_gaussian_tpu.utils.logging_utils import prepare_output_and_logger
 from r2_gaussian_tpu.utils.metrics import metric_proj, metric_vol_psnr, metric_vol_ssim
 from r2_gaussian_tpu.utils.plot_utils import show_two_slice
@@ -268,10 +268,13 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
         target = min(next_event, next_boundary, opt.iterations)
         gap = target - trainer.iteration
         # decompose into standard dispatch sizes to bound recompiles
+        t_chunk = time.time()
+        it_before = trainer.iteration
         for size in (100, 10, 1):
             while gap >= size and (trainer.iteration + size) <= target:
                 metrics, n_active = trainer.run_chunk(size)
                 gap -= size
+        chunk_elapsed = time.time() - t_chunk
         it = trainer.iteration
         metrics = np.asarray(metrics)
         progress.update(it - iters_done)
@@ -290,6 +293,19 @@ def training(dataset, opt, pipe, tb_writer, testing_iterations, saving_iteration
             )
             tb_writer.add_scalar(
                 "train/iters_per_sec", iters_done / max(time.time() - t_start, 1e-9), it
+            )
+            # reference-observable parity scalars: per-group LR (reference
+            # train.py:209 logs each param group's lr every iteration) and
+            # per-iteration wall time in ms (reference train.py:236 logs the
+            # CUDA-event elapsed time as train/iter_time)
+            lrs = group_lrs(opt, it)
+            for group in ("xyz", "density", "scaling", "rotation"):
+                tb_writer.add_scalar(
+                    f"train/lr_{group}", float(getattr(lrs, group)), it
+                )
+            tb_writer.add_scalar(
+                "train/iter_time",
+                1e3 * chunk_elapsed / max(it - it_before, 1), it,
             )
         if it in testing_iterations:
             evaluate(trainer, scene, it, tb_writer, backend)
