@@ -316,6 +316,83 @@ def _progress(update):
         pass
 
 
+def measure_stress_state(cams, scanner, deadline):
+    """Secondary metric: full train-step latency at a saved ~500k-gaussian
+    stress state (.bench_data/state_1100.npz, built by dev/make_stress_state
+    .py / dev/stage_round5.sh). Driver-verifies the capacity-scaling story
+    that was previously [dev]-only (RESULTS.md). Returns ms/it or None; never
+    raises (the headline metric must print regardless)."""
+    path = osp.join(CACHE_DIR, "state_1100.npz")
+    if not osp.exists(path) or time.time() > deadline - 200:
+        return None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from r2_gaussian_tpu.models.gaussians import GaussianAux, GaussianParams
+        from r2_gaussian_tpu.pipeline.optim import init_adam
+        from r2_gaussian_tpu.pipeline.trainer import TrainState, make_train_fn
+
+        jax.clear_caches()
+        _progress({"phase": "stress-state secondary metric"})
+        s = np.load(path)
+        sb = tuple(float(v) for v in s["scale_bound"])
+        params = GaussianParams(
+            xyz=jnp.asarray(s["xyz"]), scaling=jnp.asarray(s["scaling"]),
+            rotation=jnp.asarray(s["rotation"]),
+            density=jnp.asarray(s["density"]))
+        cap = params.xyz.shape[0]
+        n_act = int(np.asarray(s["active"]).sum())
+        aux = GaussianAux(
+            active=jnp.asarray(s["active"]), max_radii2d=jnp.zeros(cap),
+            xyz_gradient_accum=jnp.zeros(cap), denom=jnp.zeros(cap))
+        bucket = 8192
+        while bucket < n_act:
+            bucket *= 2
+        n_rows = None if bucket >= cap else bucket  # trainer._row_bucket rule
+        opt = _bench_opt(densify_until_iter=0)
+        K = 20
+        fn = make_train_fn(cameras=cams, scanner_cfg=scanner, opt_cfg=opt,
+                           scale_bound=sb, backend="pallas",
+                           steps_per_call=K, footprint="tight",
+                           kernel="auto", n_rows=n_rows)
+        views = jnp.arange(K, dtype=jnp.int32) % len(cams)
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        skip = jnp.zeros(K, bool)
+        st = TrainState(params=params, adam=init_adam(params), aux=aux)
+        _, m = fn(st, views, keys, skip, jnp.int32(0))  # compile + warm
+        _ = np.asarray(m)
+        if time.time() > deadline - 30:
+            return None
+        t0 = time.time()
+        _, m = fn(st, views, keys, skip, jnp.int32(0))
+        _ = np.asarray(m)
+        return {"ms_per_it": round((time.time() - t0) / K * 1000, 2),
+                "n_gaussians": n_act, "capacity": cap}
+    except Exception as e:  # noqa: BLE001 — strictly best-effort
+        print(f"stress-state metric skipped: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return None
+
+
+def _bench_opt(**kw):
+    d = dict(
+        iterations=30_000,
+        position_lr_init=2e-4, position_lr_final=2e-5, position_lr_max_steps=30_000,
+        density_lr_init=1e-2, density_lr_final=1e-3, density_lr_max_steps=30_000,
+        scaling_lr_init=5e-3, scaling_lr_final=5e-4, scaling_lr_max_steps=30_000,
+        rotation_lr_init=1e-3, rotation_lr_final=1e-4, rotation_lr_max_steps=30_000,
+        lambda_dssim=0.25, lambda_tv=0.05, tv_vol_size=32,
+        density_min_threshold=1e-5,
+        densification_interval=100, densify_from_iter=500,
+        densify_until_iter=15_000,
+        densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
+        max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
+    )
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
 def worker():
     deadline = float(os.environ.get("BENCH_DEADLINE", time.time() + 1e9))
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -355,19 +432,7 @@ def worker():
     cap = 262_144 if on_tpu else None
     params, aux = create_from_pcd(pts[:, :3].astype(np.float32), pts[:, 3],
                                   scale_bound, capacity=cap)
-    opt = types.SimpleNamespace(
-        iterations=30_000,
-        position_lr_init=2e-4, position_lr_final=2e-5, position_lr_max_steps=30_000,
-        density_lr_init=1e-2, density_lr_final=1e-3, density_lr_max_steps=30_000,
-        scaling_lr_init=5e-3, scaling_lr_final=5e-4, scaling_lr_max_steps=30_000,
-        rotation_lr_init=1e-3, rotation_lr_final=1e-4, rotation_lr_max_steps=30_000,
-        lambda_dssim=0.25, lambda_tv=0.05, tv_vol_size=32,
-        density_min_threshold=1e-5,
-        densification_interval=100, densify_from_iter=500,
-        densify_until_iter=15_000,
-        densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
-        max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
-    )
+    opt = _bench_opt()
     trainer = Trainer(cams, scanner, opt, scale_bound, params, aux,
                       backend="auto")
 
@@ -438,6 +503,12 @@ def worker():
             break
     wall = time.time() - t0
     out = result(bench_iters / wall, bench_iters, loss)
+    # secondary metric: 500k-gaussian stress-state step latency (best-effort,
+    # folded into the single JSON line's detail — driver contract holds)
+    del trainer
+    stress = measure_stress_state(cams, scanner, deadline)
+    if stress is not None:
+        out["detail"]["stress_500k"] = stress
     print(json.dumps(out), flush=True)
 
 
