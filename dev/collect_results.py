@@ -102,16 +102,16 @@ def matrix_table():
         rows.append((m.group(1), m.group(2), int(m.group(3)),
                      "lrfast" if m.group(4) else "default",
                      m3.get("psnr_3d"), m3.get("ssim_3d"),
-                     m2.get("psnr_2d"), peak))
+                     m2.get("psnr_2d"), m2.get("ssim_2d"), peak))
     if not rows:
         return
     print("\n### Quality-protocol matrix (offline test.py @ iter 30000)\n")
     print("| case | beam | views | preset | PSNR3D | SSIM3D | PSNR2D(test)"
-          " | peak PSNR3D (train evals) |")
-    print("|---|---|---|---|---|---|---|---|")
-    for c, b, nv, arm, p3, s3, p2, pk in sorted(rows):
+          " | SSIM2D(test) | peak PSNR3D (train evals) |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for c, b, nv, arm, p3, s3, p2, s2, pk in sorted(rows):
         print(f"| {c} | {b} | {nv} | {arm} | {fmt(p3)} | {fmt(s3, 4)} "
-              f"| {fmt(p2)} | {fmt(pk)} |")
+              f"| {fmt(p2)} | {fmt(s2, 4)} | {fmt(pk)} |")
 
 
 if __name__ == "__main__":
