@@ -136,8 +136,10 @@ def main():
         "noise": False,
     }
 
-    # pseudo-GT: FDK from ALL views (reference generate_data.py:147-163)
-    vol = np.clip(np.asarray(fdk(np.stack(all_projs), angles, scanner)), 0, None)
+    # pseudo-GT: FDK from ALL views (reference generate_data.py:147-163);
+    # chunk the many-view backprojection into bounded device dispatches
+    vol = np.clip(np.asarray(fdk(np.stack(all_projs), angles, scanner,
+                                 view_chunk=60)), 0, None)
     vol = vol / max(vol.max(), 1e-9)
     np.save(osp.join(args.output, "vol_gt.npy"), vol.astype(np.float32))
 

@@ -114,8 +114,17 @@ def _backproject(
     return jnp.concatenate(slabs, axis=2)
 
 
-def fdk(projs, angles, scanner_cfg, n_voxel=None):
+def fdk(projs, angles, scanner_cfg, n_voxel=None, view_chunk=None):
     """Reconstruct a volume from projections [V, H, W] at `angles`.
+
+    `view_chunk`: optional host-level chunking of the backprojection into
+    several device dispatches of `view_chunk` views each (partial sums
+    accumulate on the host). The single-dispatch program at many-view
+    production scale (e.g. the 240-view pseudo-GT FDK in
+    data_generator/generate_real.py, reference real_dataset/
+    generate_data.py:147-163) is large enough to take down constrained TPU
+    runtimes; chunking bounds each dispatch. Same math — the sum over views
+    is associative (f32 rounding order differs negligibly).
 
     Returns [nx, ny, nz] (same layout as the GT volumes)."""
     mode = 0 if scanner_cfg["mode"] == "parallel" else 1
@@ -152,9 +161,7 @@ def fdk(projs, angles, scanner_cfg, n_voxel=None):
     c2ws = jnp.asarray(
         np.stack([angle2pose(dso, float(a)) for a in angles]), jnp.float32
     )
-    return _backproject(
-        filtered,
-        c2ws,
+    kw = dict(
         mode=mode,
         n_voxel=n_voxel,
         s_voxel=np.asarray(scanner_cfg["sVoxel"], np.float32),
@@ -164,6 +171,24 @@ def fdk(projs, angles, scanner_cfg, n_voxel=None):
         tanfovy=tanfovy,
         d_theta=d_theta,
     )
+    nv = filtered.shape[0]
+    if view_chunk is None or nv <= view_chunk:
+        return _backproject(filtered, c2ws, **kw)
+    acc = None
+    for v0 in range(0, nv, view_chunk):
+        f_c = filtered[v0 : v0 + view_chunk]
+        c_c = c2ws[v0 : v0 + view_chunk]
+        if f_c.shape[0] < view_chunk:  # pad to one static shape (one compile)
+            pad = view_chunk - f_c.shape[0]
+            f_c = jnp.concatenate([f_c, jnp.zeros((pad,) + f_c.shape[1:],
+                                                  f_c.dtype)])
+            # repeat a real pose for the zero-padded views: a degenerate
+            # (identity) pose puts voxels at zv=0 -> inf weight * NaN lookup;
+            # with a valid pose the zero projection contributes exactly 0
+            c_c = jnp.concatenate([c_c, jnp.tile(c_c[-1:], (pad, 1, 1))])
+        part = np.asarray(_backproject(f_c, c_c, **kw))
+        acc = part if acc is None else acc + part
+    return jnp.asarray(acc)
 
 
 def backproject(projs, angles, scanner_cfg, n_voxel=None):

@@ -90,13 +90,18 @@ def _split_ox(ox, ww: int, width: int):
 # in the 500k-state step, ARCHITECTURE.md speed-of-light table). One operand
 # of every selector dot is an exact 0/1 matrix; only the payload operand
 # carries data, so cheaper MXU modes differ solely in payload rounding:
-#   highest — 6-pass exact f32 (default; Mosaic lowers DEFAULT/HIGHEST only)
+#   highest — 6-pass exact f32 (Mosaic lowers DEFAULT/HIGHEST only)
 #   split2  — two DEFAULT bf16 passes on a hi/lo mantissa split of the
 #             payload: each pass places its part exactly (f32 accumulate),
 #             total payload error ~2^-17 relative — negligible vs the bf16
 #             Mehler patch matmuls already in the LR path
 #   bf16    — single DEFAULT pass, ~2^-8 payload rounding (quality-gated)
-_SELDOT = os.environ.get("R2G_SELDOT", "highest")
+# split2 is the DEFAULT since round 5: the round-5 TPU A/B
+# (.bench_data/perf_ab_r5.log) measured the full train step at 12.8 -> 9.4
+# ms/it (61k steady state) and 67.6 -> 17.1 ms/it (500k stress state) vs
+# highest, and the 30k quality gate (output/slb_cone_25_lrfast_split2)
+# matches the `highest` control within the 0.05 dB PSNR3D budget.
+_SELDOT = os.environ.get("R2G_SELDOT", "split2")
 
 
 def _sel_dot(a, b, data_side: int):

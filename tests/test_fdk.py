@@ -33,3 +33,18 @@ def test_fdk_reconstructs_phantom(mode):
     assert 0.6 < dens_ratio < 1.6, dens_ratio
     psnr = metric_vol_psnr(vol, np.clip(rec, 0, None))
     assert psnr > 18.0, psnr
+
+
+def test_fdk_view_chunk_equivalence():
+    """Host-chunked backprojection (view_chunk, incl. a zero-padded short
+    final chunk) must match the single-dispatch result to f32 re-association
+    tolerance — guards the production many-view ingest path
+    (data_generator/generate_real.py pseudo-GT FDK)."""
+    sc = scanner("cone")
+    vol = gaussian_blobs(32, n_blobs=3, seed=2)
+    angles = np.linspace(0, 2 * np.pi, 26)[:-1]  # 25 views, chunk 10 -> 10/10/5
+    projs = project(vol, angles, sc)
+    whole = np.asarray(fdk(projs, angles, sc))
+    chunked = np.asarray(fdk(projs, angles, sc, view_chunk=10))
+    scale = max(abs(whole).max(), 1e-9)
+    assert np.abs(whole - chunked).max() / scale < 1e-5

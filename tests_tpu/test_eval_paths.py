@@ -20,6 +20,13 @@ import jax.numpy as jnp
 
 from r2_gaussian_tpu.dataset.geometry import build_cameras
 from r2_gaussian_tpu.models.render import query_volume, render, render_views
+from r2_gaussian_tpu.ops import splat2d as _splat2d
+
+# render_views and render dispatch the same kernels but group rows
+# differently, so under the reduced-precision selector-dot modes (split2
+# default since round 5, ~2^-17 payload rounding per pass) the two paths
+# accumulate different roundings; `highest` is exact 6-pass f32.
+_RENDER_TOL = 1e-5 if _splat2d._SELDOT == "highest" else 5e-4
 
 
 def _population(n, seed=0):
@@ -87,7 +94,7 @@ def test_eval_render_compaction_at_padded_capacity():
         )["render"]
         ref = np.asarray(ref)
         scale = max(ref.max(), 1e-9)
-        assert np.abs(out[v] - ref).max() / scale < 1e-5, v
+        assert np.abs(out[v] - ref).max() / scale < _RENDER_TOL, v
 
 
 def test_query_volume_256_z_slabs_on_hardware():
