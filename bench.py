@@ -360,16 +360,21 @@ def measure_stress_state(cams, scanner, deadline):
         keys = jax.random.split(jax.random.PRNGKey(0), K)
         skip = jnp.zeros(K, bool)
         st = TrainState(params=params, adam=init_adam(params), aux=aux)
-        _, m = fn(st, views, keys, skip, jnp.int32(0))  # compile + warm
+        # the train fn DONATES the state (donate_argnums=(0,)): thread the
+        # returned state into the timed call instead of reusing the donated
+        # one (reuse surfaced as an opaque TPU InvalidArgument in round 5)
+        st, m = fn(st, views, keys, skip, jnp.int32(0))  # compile + warm
         _ = np.asarray(m)
         if time.time() > deadline - 30:
             return None
         t0 = time.time()
-        _, m = fn(st, views, keys, skip, jnp.int32(0))
+        st, m = fn(st, views, keys, skip, jnp.int32(0))
         _ = np.asarray(m)
         return {"ms_per_it": round((time.time() - t0) / K * 1000, 2),
                 "n_gaussians": n_act, "capacity": cap}
     except Exception as e:  # noqa: BLE001 — strictly best-effort
+        import traceback
+        traceback.print_exc()
         print(f"stress-state metric skipped: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
         return None
