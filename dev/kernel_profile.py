@@ -27,7 +27,7 @@ ROOT = osp.join(osp.dirname(osp.abspath(__file__)), "..")
 STATE = sys.argv[1] if len(sys.argv) > 1 else "state_1100.npz"
 KERNEL = sys.argv[2] if len(sys.argv) > 2 else "direct"
 
-d = np.load(osp.join(ROOT, ".bench_data", "sl_256_512_25_50000.npz"),
+d = np.load(osp.join(ROOT, ".bench_data", "slb_256_512_25_50000.npz"),
             allow_pickle=True)
 scanner, projs, angles = d["scanner"].item(), d["projs"], d["angles"]
 cams = build_cameras(angles, projs, [str(i) for i in range(len(angles))], scanner)

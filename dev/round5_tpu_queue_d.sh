@@ -33,4 +33,10 @@ fi
 BENCH_BUDGET_S=1400 timeout 1500 python bench.py \
   | tee .bench_data/bench_r5_final.json
 
+# 3. kernel-level decomposition at the post-split2 steady state (render
+#    fwd / fwd+bwd isolation + tier occupancy + pair accounting) — the
+#    current data behind the speed-of-light narrative
+$LOCK timeout 1200 python dev/kernel_profile.py state_slb_1100.npz auto \
+  > .bench_data/kernel_profile_r5.log 2>&1 || echo "KERNEL PROFILE FAILED"
+
 echo "ROUND5 QUEUE D DONE"
