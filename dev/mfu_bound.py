@@ -79,20 +79,24 @@ def _diff_rate(make_fn, args, work_per_extra_m, m):
     trusted when it rises clearly above timing noise — through the tunneled
     runtime dispatch jitter can exceed small kernel deltas, which silently
     produced astronomically floored rates in the round-4 artifact. Retries
-    with 4x the trip count once, then reports None (unmeasured)."""
-    for mm in (m, 4 * m):
+    with 4x and 16x the trip count, then reports None (unmeasured). The
+    round-5 rerun showed the tunnel's per-dispatch jitter is ~0.1 ms — the
+    same scale as millisecond-class kernel deltas — so the delta is only
+    accepted once it clears a full millisecond AND 10% of the larger time;
+    the trip-count ladder escalates until the kernel signal dominates."""
+    for mm in (m, 4 * m, 16 * m):
         f1, f2 = make_fn(mm), make_fn(2 * mm)
         t1, t2 = timed(f1, *args), timed(f2, *args)
         dt = t2 - t1
         print(f"  diff-timing m={mm}: t1={t1 * 1e3:.3f} ms "
               f"t2={t2 * 1e3:.3f} ms dt={dt * 1e3:.3f} ms",
               file=sys.stderr, flush=True)
-        if dt > 0.05 * t2 and dt > 1e-4:
+        if dt > 0.1 * t2 and dt > 1e-3:
             return work_per_extra_m * mm / dt
     return None
 
 
-def bench_loop(body, elems_per_iter, m=4096):
+def bench_loop(body, elems_per_iter, m=16384):
     x = jnp.full((R, C), 0.5, jnp.float32)
     return _diff_rate(
         lambda mm: jax.jit(functools.partial(_loop_call, m=mm, body=body)),
@@ -111,7 +115,7 @@ def _mxu_kernel(x_ref, w_ref, o_ref, *, m, precision):
     o_ref[...] = jax.lax.fori_loop(0, m, step, x_ref[...])
 
 
-def bench_mxu(n=512, m=256, precision="highest"):
+def bench_mxu(n=512, m=1024, precision="highest"):
     rng = np.random.default_rng(0)
     q, _ = np.linalg.qr(rng.standard_normal((n, n)))
     w = jnp.asarray(0.999 * q, jnp.float32)
