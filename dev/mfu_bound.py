@@ -45,11 +45,18 @@ ON_TPU = jax.devices()[0].platform == "tpu"
 
 
 def timed(fn, *args, reps=20):
-    jax.block_until_ready(fn(*args))  # warm-up / compile
+    # Sync via a device->host FETCH, not block_until_ready: on the tunneled
+    # axon platform block_until_ready returns without waiting for device
+    # execution (measured: a 256 MB HBM stream "finished" in 25 us, and
+    # loop-kernel m-vs-2m deltas vanished below dispatch jitter — the
+    # round-4/round-5 garbage-rate artifacts). np.asarray forces the real
+    # round trip; its cost is constant across trip counts, so the
+    # _diff_rate subtraction cancels it.
+    _ = np.asarray(fn(*args))  # warm-up / compile
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     return (time.perf_counter() - t0) / reps
 
 
