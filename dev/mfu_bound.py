@@ -141,7 +141,10 @@ def bench_mxu(n=512, m=1024, precision="highest"):
 
 
 def bench_hbm(mb=256):
-    x = jnp.ones((mb * 1024 * 1024 // 4,), jnp.float32)
+    # materialize the buffer ON DEVICE (a jitted fill): a concrete
+    # jnp.ones of this size can be staged host-side and a 256 MB upload
+    # through the tunnel takes tens of minutes (the round-5 census "hang")
+    x = jax.jit(lambda: jnp.ones((mb * 1024 * 1024 // 4,), jnp.float32))()
     f = jax.jit(lambda x: jnp.sum(x * 1.000001))  # read-only stream
     t = timed(f, x)
     return mb / 1024 / t  # GB/s read
