@@ -64,20 +64,24 @@ def eval2d():
 
 
 t0 = time.time()
+eval_s = 0.0  # checkpoint evals are not training time; report both clocks
 record = []
 for target in (1, 5000, 10000, 20000, 30000):
     while trainer.iteration < target:
         m, _ = trainer.run_chunk(min(100, target - trainer.iteration))
     wall = time.time() - t0
+    te = time.time()
     p3, s3 = eval3d()
     p2, s2 = eval2d()
     n = int(np.asarray(trainer.state.aux.n_active))
-    row = dict(iter=target, wall_s=round(wall, 1), psnr3d=round(p3, 2),
+    row = dict(iter=target, wall_s=round(wall, 1),
+               train_s=round(wall - eval_s, 1), psnr3d=round(p3, 2),
                ssim3d=round(s3, 4), psnr2d=round(p2, 2), ssim2d=round(s2, 4),
                n=n)
+    eval_s += time.time() - te
     record.append(row)
     print(json.dumps(row), flush=True)
-print("TRAIN WALL (excl. evals): see per-row wall_s; final:",
-      round(time.time() - t0, 1), "s")
+print("final wall", round(time.time() - t0, 1), "s; eval overhead",
+      round(eval_s, 1), "s")
 with open("/root/repo/.bench_data/full_run_30k.json", "w") as f:
     json.dump(record, f, indent=1)
