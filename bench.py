@@ -342,7 +342,16 @@ def measure_stress_state(cams, scanner, deadline):
             rotation=jnp.asarray(s["rotation"]),
             density=jnp.asarray(s["density"]))
         cap = params.xyz.shape[0]
-        n_act = int(np.asarray(s["active"]).sum())
+        act_np = np.asarray(s["active"])
+        n_act = int(act_np.sum())
+        # row-bucket validity requires the compacted-prefix invariant the
+        # trainer asserts (trainer._n_active): a state whose active rows are
+        # not a prefix would silently slice off live gaussians and report an
+        # optimistic ms/it — refuse to measure instead.
+        if not act_np[:n_act].all():
+            print("stress-state metric skipped: active rows are not a "
+                  "compacted prefix", file=sys.stderr, flush=True)
+            return None
         aux = GaussianAux(
             active=jnp.asarray(s["active"]), max_radii2d=jnp.zeros(cap),
             xyz_gradient_accum=jnp.zeros(cap), denom=jnp.zeros(cap))
@@ -444,30 +453,56 @@ def worker():
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
     baseline = 50.0  # RTX 3090 midpoint it/s
 
-    def result(it_per_sec, done_iters, loss):
+    # Per-step cost is a function of the STATE and ramps as footprints
+    # spread during training (ARCHITECTURE.md round-5 findings, measured
+    # 8.5 -> 16.9 ms/it between iters 1.1k and 10k pre-round-6), so a
+    # single early window over-projects. The headline is therefore
+    # SUSTAINED-HONEST: after the early window the worker keeps training to
+    # a late-state iteration and measures a second window there; the
+    # headline value and projected_time_to_30k_min integrate the measured
+    # wall clock plus the late rate for the remaining iterations. Both raw
+    # windows are reported in detail.
+    def result(it_per_sec, done_iters, loss, *, early=None, late=None,
+               train_wall=None, at_iter=None):
+        detail = {
+            "case": "shepp_logan_blurred_cone_25view",
+            "detector": det, "volume": vol_size,
+            # host-cached count: result() runs after every chunk and a
+            # device fetch of the n_active reduction is a full tunnel
+            # round trip
+            "n_gaussians": trainer._n_active(),
+            "platform": "tpu" if on_tpu else "cpu",
+            "measured_iters":
+                f"{warm_iters + 1}-{warm_iters + done_iters}",
+            "capacity": int(trainer.state.params.capacity),
+            "projected_time_to_30k_min":
+                round(30_000 / it_per_sec / 60, 2),
+            "loss": loss,
+        }
+        if early is not None:
+            detail["early_window_it_s"] = round(early, 2)
+        if late is not None and train_wall is not None:
+            detail["late_window_it_s"] = round(late, 2)
+            detail["late_window_at_iter"] = at_iter
+            # honest projection: measured wall clock through the late
+            # window (warmup compiles + densify era + ramp included) plus
+            # the late-state rate for the remaining iterations
+            proj_s = train_wall + max(30_000 - at_iter, 0) / late
+            detail["projected_time_to_30k_min"] = round(proj_s / 60, 2)
+            it_per_sec = 30_000 / proj_s
+            detail["sustained"] = True
+        else:
+            detail["sustained"] = False  # early-window extrapolation only
         return {
             "metric": "train_iters_per_sec",
             "value": round(it_per_sec, 2),
             "unit": "it/s",
             "vs_baseline": round(it_per_sec / baseline, 3),
-            "detail": {
-                "case": "shepp_logan_blurred_cone_25view",
-                "detector": det, "volume": vol_size,
-                # host-cached count: result() runs after every chunk and a
-                # device fetch of the n_active reduction is a full tunnel
-                # round trip
-                "n_gaussians": trainer._n_active(),
-                "platform": "tpu" if on_tpu else "cpu",
-                "measured_iters":
-                    f"{warm_iters + 1}-{warm_iters + done_iters}",
-                "capacity": int(trainer.state.params.capacity),
-                "projected_time_to_30k_min":
-                    round(30_000 / it_per_sec / 60, 2),
-                "loss": loss,
-            },
+            "detail": detail,
         }
 
     # warmup: compiles + first densify events (run_chunk syncs per dispatch)
+    t_train0 = time.time()  # train wall clock incl. compiles, excl. datagen
     while trainer.iteration < warm_iters:
         tc = time.time()
         _progress({"phase": f"warmup iter {trainer.iteration}/{warm_iters}"})
@@ -507,7 +542,36 @@ def worker():
             bench_iters = done
             break
     wall = time.time() - t0
-    out = result(bench_iters / wall, bench_iters, loss)
+    early_rate = bench_iters / wall
+    out = result(early_rate, bench_iters, loss, early=early_rate)
+
+    # --- late-state window: continue the protocol toward iter 10k and
+    # re-measure, so the headline reflects the sustained (footprint-spread)
+    # regime rather than the fastest phase. Deadline-guarded: on a cold
+    # machine that spent the budget compiling, the early-window result above
+    # still stands (marked sustained: false).
+    late_target = 10_000 if on_tpu else 200
+    late_window = 300 if on_tpu else 40
+    while (trainer.iteration < late_target
+           and time.time() < deadline - 150):
+        k = min(500, late_target - trainer.iteration)
+        trainer.run_chunk(k)
+        prog = dict(out)
+        prog["phase"] = f"continuing to late window {trainer.iteration}"
+        _progress(prog)
+    if trainer.iteration >= (3000 if on_tpu else late_target):
+        t0 = time.time()
+        m, _ = trainer.run_chunk(late_window)
+        late_wall = time.time() - t0
+        loss = float(np.asarray(m)[-1, 0])
+        out = result(early_rate, bench_iters, loss, early=early_rate,
+                     late=late_window / late_wall,
+                     train_wall=time.time() - t_train0,
+                     at_iter=trainer.iteration)
+    # checkpoint the headline BEFORE the stress probe: its compile+warm call
+    # is not deadline-boundable once started, and the watchdog must be able
+    # to emit the final number if the probe hangs past the budget
+    _progress(dict(out, phase="headline ready; stress probe"))
     # secondary metric: 500k-gaussian stress-state step latency (best-effort,
     # folded into the single JSON line's detail — driver contract holds)
     del trainer

@@ -1011,13 +1011,28 @@ def _build_features_lr(prep: Preprocessed):
 GROUP = int(os.environ.get("R2G_GROUP", "2"))
 
 
+# Tier ladders (window_h, window_w), ascending. "fine" quantizes block
+# bboxes with ~1.15-1.25x steps instead of ~1.3-1.4x: the round-6 router
+# simulation (dev/block_sim.py, state_slb_10000) measures the tier
+# quantization overshoot at ~11% of evaluated pairs at the late
+# (footprint-spread) state, and the per-grid-step tier selector is a
+# scalar pl.when chain, so extra tiers cost compile time, not step time.
+_LADDERS = {
+    "r5": ((64, 56), (80, 72), (112, 104), (144, 136), (176, 168),
+           (240, 232), (336, 328)),
+    "fine": ((48, 40), (64, 56), (80, 72), (96, 88), (112, 104),
+             (128, 120), (144, 136), (176, 168), (208, 200), (240, 232),
+             (288, 280), (336, 328), (416, 408)),
+}
+_TIERS = os.environ.get("R2G_TIERS", "fine")
+
+
 class SplatConfig(NamedTuple):
     # (window_h, window_w) per tier, ascending; window_h % rc == 0.
     # A terminal full-frame tier is appended automatically (when the image
     # height allows), so every block is covered and the dense fallback is an
     # (almost always empty) safety net rather than a hot path.
-    tiers: tuple = ((64, 56), (80, 72), (112, 104), (144, 136), (176, 168),
-                    (240, 232), (336, 328))
+    tiers: tuple = _LADDERS.get(_TIERS, _LADDERS["fine"])
     # fallback capacity for gaussians in blocks beyond all tiers (0 disables;
     # the fallback is cond-gated, so it only costs when actually populated)
     dense_cap: int = 4096

@@ -35,6 +35,33 @@ def metric_vol_psnr(vol_gt, vol_pred, pixel_max: float = 1.0) -> float:
     return float(psnr(jnp.asarray(vol_pred), jnp.asarray(vol_gt), pixel_max))
 
 
+def metric_vol_psnr_masked(vol_gt, vol_pred, thresh: float = 0.05,
+                           dilate: int = 2, pixel_max: float = 1.0):
+    """PSNR restricted to the (dilated) GT object support.
+
+    The reference's psnr() accepts an ROI mask (image_utils.py:60-87); this
+    builds the canonical one: voxels where GT > thresh, morphologically
+    dilated so the object boundary (where most reconstruction error lives)
+    stays inside the ROI. Purpose: when the "GT" is itself a pseudo-GT
+    (e.g. an FDK reconstruction from all raw views, generate_real.py —
+    real_dataset protocol), the whole-volume PSNR is floored by background
+    streak/noise texture a gaussian model rightly does not reproduce;
+    masking to the object separates model error from that floor.
+    Returns (psnr_masked, mask_fraction)."""
+    from scipy.ndimage import binary_dilation
+
+    gt = np.asarray(vol_gt)
+    pred = np.asarray(vol_pred)
+    mask = gt > thresh
+    if dilate > 0:
+        mask = binary_dilation(mask, iterations=dilate)
+    frac = float(mask.mean())
+    if not mask.any():
+        return float("nan"), 0.0
+    mse = float(np.mean((pred[mask] - gt[mask]) ** 2))
+    return float(10.0 * np.log10(pixel_max**2 / mse)), frac
+
+
 def metric_vol_ssim(vol_gt, vol_pred, slice_chunk: int = 64):
     """3D SSIM: mean over slices along each axis (skip empty), then mean of
     the 3 axis values. Returns (mean, [axis0, axis1, axis2])."""

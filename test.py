@@ -31,7 +31,9 @@ from r2_gaussian_tpu.pipeline.config import (
     PipelineParams,
     get_combined_args,
 )
-from r2_gaussian_tpu.utils.metrics import metric_proj, metric_vol_psnr, metric_vol_ssim
+from r2_gaussian_tpu.utils.metrics import (metric_proj, metric_vol_psnr,
+                                           metric_vol_psnr_masked,
+                                           metric_vol_ssim)
 
 
 def search_max_iteration(pc_dir: str) -> int:
@@ -119,9 +121,14 @@ def evaluate_volume(scene, xyz, scales, rots, dens, active, out_dir, backend):
         np.save(osp.join(out_dir, "vol_gt.npy"), np.asarray(scene.vol_gt))
         psnr_3d = metric_vol_psnr(scene.vol_gt, vol_pred)
         ssim_3d, ssim_ax = metric_vol_ssim(scene.vol_gt, vol_pred)
+        # ROI metric: PSNR on the dilated GT object support. Separates model
+        # error from the background streak/noise floor when the GT is an
+        # FDK pseudo-GT (real-data protocol) — see metric_vol_psnr_masked.
+        psnr_3d_roi, roi_frac = metric_vol_psnr_masked(scene.vol_gt, vol_pred)
         report = {"psnr_3d": psnr_3d, "ssim_3d": ssim_3d,
                   "ssim_3d_x": ssim_ax[0], "ssim_3d_y": ssim_ax[1],
-                  "ssim_3d_z": ssim_ax[2]}
+                  "ssim_3d_z": ssim_ax[2],
+                  "psnr_3d_roi": psnr_3d_roi, "roi_fraction": roi_frac}
         with open(osp.join(osp.dirname(out_dir), "eval3d.yml"), "w") as f:
             yaml.dump(report, f, default_flow_style=False, sort_keys=False)
         print(f"volume: psnr3d {psnr_3d:.3f}, ssim3d {ssim_3d:.3f}")
