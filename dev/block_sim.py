@@ -39,6 +39,14 @@ TIERS_DEFAULT = ((64, 56), (80, 72), (112, 104), (144, 136), (176, 168),
 TIERS_FINE = ((48, 40), (64, 56), (80, 72), (96, 88), (112, 104),
               (128, 120), (144, 136), (176, 168), (208, 200), (240, 232),
               (288, 280), (336, 328), (416, 408), (512, 512))
+# lane ladder: window WIDTH quantized to the hardware's 128-lane boundary
+# (the patch matmul + placement compute on ww lanes pads to 128 anyway, so
+# nominal ww below the boundary is free capacity); HEIGHT stays fine
+# (row-chunk granularity is real work). Hardware A/B showed MORE tiers is
+# slower per se (g2_fine l1-only 23.1 vs 15.9 ms), so the ladder stays at
+# 8 tiers.
+TIERS_LANE = ((48, 128), (72, 128), (112, 128), (144, 256), (208, 256),
+              (288, 384), (408, 512), (512, 512))
 
 H = W = 512
 
@@ -93,6 +101,8 @@ def route(order, fp, gg, tiers):
     has = v.any(1)
     assigned = np.zeros(nb, bool)
     pairs = 0
+    eff_pairs = 0  # ww rounded up to the 128-lane boundary: what the
+    # patch-matmul / placement compute actually spans
     counts = []
     for wh, ww in tiers:
         ox = np.clip(bxlo.astype(np.int64), 0, W - ww)
@@ -103,7 +113,8 @@ def route(order, fp, gg, tiers):
         assigned |= mine
         counts.append(int(mine.sum()))
         pairs += int(mine.sum()) * wh * ww * gg
-    return pairs, counts, int((has & ~assigned).sum())
+        eff_pairs += int(mine.sum()) * wh * (-(-ww // 128) * 128) * gg
+    return pairs, eff_pairs, counts, int((has & ~assigned).sum())
 
 
 def main():
@@ -134,43 +145,26 @@ def main():
     mc = np.asarray(morton_code(jnp.asarray(xyz)))
 
     def eval_order(name, order, gg, tiers):
-        tot, una = 0.0, 0
+        tot, eff, una = 0.0, 0.0, 0
         for f in fps:
-            p, counts, u = route(order, f, gg, tiers)
+            p, ep, counts, u = route(order, f, gg, tiers)
             tot += p
+            eff += ep
             una += u
         tot /= len(fps)
-        print(f"{name:55s} gg={gg:4d} pairs {tot / 1e6:7.0f} M "
-              f"({tot / floor:5.1f}x floor)  unassigned {una}")
-        return tot
+        eff /= len(fps)
+        print(f"{name:45s} gg={gg:4d} pairs {tot / 1e6:6.0f} M  "
+              f"eff {eff / 1e6:6.0f} M ({eff / floor:5.1f}x)  unass {una}")
+        return eff
 
-    ladders = {"default": TIERS_DEFAULT, "fine": TIERS_FINE}
+    ladders = {"default": TIERS_DEFAULT, "fine": TIERS_FINE,
+               "lane": TIERS_LANE}
 
+    oversize = (max_sc > 0.09).astype(np.int64)
+    order = np.lexsort((mc, oversize, ~active))
     for lname, tiers in ladders.items():
-        for gg in (256, 128, 64):
-            # current production ordering: (oversize@0.09, morton)
-            oversize = (max_sc > 0.09).astype(np.int64)
-            order = np.lexsort((mc, oversize, ~active))
-            eval_order(f"[{lname}] current (oversize@0.09, morton)",
-                       order, gg, tiers)
-        # tail-only segregation: relocate ONLY the extreme tail (threshold
-        # near a high percentile) so the bulk keeps dense Morton order —
-        # quantile classes measurably backfire (the top class accumulates
-        # the heavy tail and drags a third of the population into
-        # full-frame windows)
-        for th in (0.05, 0.06, 0.07):
-            cls = (max_sc > th).astype(np.int64)
-            pct = 100.0 * float((max_sc[active] > th).mean())
-            order = np.lexsort((mc, cls, ~active))
-            for gg in (256, 128):
-                eval_order(
-                    f"[{lname}] tail@{th} ({pct:.1f}% moved)", order, gg,
-                    tiers)
-        # 3-class: bulk / big / huge
-        for th1, th2 in ((0.05, 0.09), (0.06, 0.12)):
-            cls = (max_sc > th1).astype(np.int64) + (max_sc > th2)
-            order = np.lexsort((mc, cls, ~active))
-            eval_order(f"[{lname}] 3-class tail@({th1},{th2})", order, 128,
+        for gg in (256, 128):
+            eval_order(f"[{lname}] (oversize@0.09, morton)", order, gg,
                        tiers)
 
 

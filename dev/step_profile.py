@@ -88,6 +88,13 @@ def measure(name, opt):
     print(f"{name:28s} {(time.time() - t0) / K * 1000:8.1f} ms/it", flush=True)
 
 
+# R2G_PROFILE_ONLY=full: skip the decomposition arms (each arm is a fresh
+# XLA executable — through the tunnel's remote AOT compiler a cold shape
+# costs minutes, so A/B sweeps over kernel configs measure just the full
+# step)
+if os.environ.get("R2G_PROFILE_ONLY") == "full":
+    measure("full", mkopt())
+    sys.exit(0)
 measure("l1 only", mkopt(lambda_tv=0.0, lambda_dssim=0.0))
 measure("l1+ssim", mkopt(lambda_tv=0.0))
 measure("l1+tv", mkopt(lambda_dssim=0.0))

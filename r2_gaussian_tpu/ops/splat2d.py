@@ -1023,8 +1023,19 @@ _LADDERS = {
     "fine": ((48, 40), (64, 56), (80, 72), (96, 88), (112, 104),
              (128, 120), (144, 136), (176, 168), (208, 200), (240, 232),
              (288, 280), (336, 328), (416, 408)),
+    # window width quantized to the 128-lane boundary (patch matmul +
+    # placement compute pad ww to 128 lanes regardless, so sub-boundary
+    # width is free capacity), height fine; tier COUNT kept at 8 — the
+    # round-6 hardware A/B measured both more tiers (g2_fine) and more
+    # blocks (g1) as losses even with fewer nominal pairs
+    "lane": ((48, 128), (72, 128), (112, 128), (144, 256), (208, 256),
+             (288, 384), (408, 512)),
 }
-_TIERS = os.environ.get("R2G_TIERS", "fine")
+# "lane" is the round-6 default: hardware A/B at the late (10k,
+# footprint-spread) state measured full train step 17.5 (r5 ladder) /
+# 23.1-l1-only (14-tier fine) / 17.6 (GROUP=1) / 16.2 (lane) ms/it
+# (.bench_data/perf_ab_r6.log).
+_TIERS = os.environ.get("R2G_TIERS", "lane")
 
 
 class SplatConfig(NamedTuple):
@@ -1032,7 +1043,7 @@ class SplatConfig(NamedTuple):
     # A terminal full-frame tier is appended automatically (when the image
     # height allows), so every block is covered and the dense fallback is an
     # (almost always empty) safety net rather than a hot path.
-    tiers: tuple = _LADDERS.get(_TIERS, _LADDERS["fine"])
+    tiers: tuple = _LADDERS.get(_TIERS, _LADDERS["lane"])
     # fallback capacity for gaussians in blocks beyond all tiers (0 disables;
     # the fallback is cond-gated, so it only costs when actually populated)
     dense_cap: int = 4096
