@@ -42,6 +42,8 @@ vol_to_world = float(max(scanner["sVoxel"]))
 sb = (0.0005 * vol_to_world, 0.5 * vol_to_world)
 params, aux = create_from_pcd(pts[:, :3].astype(np.float32), pts[:, 3], sb,
                               capacity=262_144)
+import os
+
 opt = types.SimpleNamespace(
     iterations=30_000,
     position_lr_init=2e-4, position_lr_final=2e-5,
@@ -54,7 +56,10 @@ opt = types.SimpleNamespace(
     density_min_threshold=1e-5,
     densification_interval=100, densify_from_iter=500,
     densify_until_iter=15_000,
-    densify_grad_threshold=5e-5, densify_scale_threshold=0.1,
+    # R2G_GRAD_THRESH steers the live-population regime (e.g. 1e-5 drives
+    # the flagship case past 200k live for high-capacity trajectories)
+    densify_grad_threshold=float(os.environ.get("R2G_GRAD_THRESH", 5e-5)),
+    densify_scale_threshold=0.1,
     max_screen_size=None, max_scale=None, max_num_gaussians=500_000,
 )
 trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
@@ -62,11 +67,12 @@ trainer = Trainer(cams, scanner, opt, sb, params, aux, backend="pallas")
 t_all = time.time()
 while trainer.iteration < MAX_IT:
     t0 = time.time()
-    _, n = trainer.run_chunk(100)
+    m, n = trainer.run_chunk(100)
     dt = time.time() - t0
     it = trainer.iteration
     print(f"it {it:6d}  chunk {dt * 1000:8.1f} ms  "
-          f"({dt * 10:6.2f} ms/it)  n_active {trainer._n_active()}",
+          f"({dt * 10:6.2f} ms/it)  n_active {trainer._n_active()}"
+          f"  loss {float(np.asarray(m)[-1, 0]):.2e}",
           flush=True)
     if it in SNAP:
         s = trainer.state
